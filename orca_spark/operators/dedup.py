@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, exact Jaccard.
+
+Scale design (the point of this module):
+
+* **exact**: group on a 64-bit content hash (``xxhash64``), never on the
+  raw text — at 100 TB the shuffle moves 8-byte keys, not documents.
+* **MinHash+LSH**: shingle → k min-hashes → band buckets → candidate
+  pairs only within buckets → exact-Jaccard verification of candidates.
+  Work is O(candidates), not O(n²); band count/width tune the
+  recall/cost curve. All stages are DataFrame ops (explode / groupBy /
+  self-join) — no Python in the loop.
+* **SimHash**: 64-bit signature via per-bit majority vote over token
+  hashes; near-dups differ in few bits. Signature build is one
+  explode + one groupBy.
+* **exact Jaccard** (the oracle-checkable baseline): token-set
+  self-join; quadratic in the worst case — the MinHash path is the
+  one that scales, this one verifies it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+# deterministic MinHash parameters (fixed seed, same every run).
+# p = 2^31-1 keeps a*x + b < 2^62 — no int64 overflow under ANSI mode.
+import random as _random
+
+_MERSENNE = (1 << 31) - 1
+_K = 64            # signature length
+_BANDS = 16        # LSH bands (rows per band = _K // _BANDS = 4)
+_rng = _random.Random(42)
+_A = [_rng.randrange(1, _MERSENNE) for _ in range(_K)]
+_B = [_rng.randrange(0, _MERSENNE) for _ in range(_K)]
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT min(doc_id) AS keep_doc_id,
+               count(*)    AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    description="exact dedup: group by content hash, keep lowest doc_id; "
+    "Spark side groups on xxhash64 (8-byte shuffle keys at scale)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # 64-bit grouping key: the shuffle carries hashes, not documents.
+    # (collision probability at 100 TB doc counts ~ n²/2⁶⁵ — for a
+    # guaranteed-exact variant group by (xxhash64, length).)
+    return (
+        d.groupBy(F.xxhash64("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
+    """,
+    description="exact dedup keeping full surviving rows (window rank on "
+    "content hash)",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded distinct token n-gram shingles, hashed to i64."""
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        df.where(F.size(toks) >= n)  # sequence() would run backwards on short docs
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+    )
+
+
+def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → array<long> MinHash signature of length _K.
+
+    One explode + one groupBy(doc_id) with K min-aggregates — a single
+    shuffle keyed by doc_id regardless of K.
+    """
+    sh = _shingles(df, n)
+    x = F.pmod(F.col("sh"), F.lit(_MERSENNE))
+    mins = [
+        F.min(F.pmod(F.lit(_A[i]) * x + F.lit(_B[i]), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i in range(_K)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(_K)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket."""
+    r = _K // _BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias("bucket"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash",
+    oracle=None,  # LSH candidate generation is probabilistic-by-design;
+    # recall vs the exact path is asserted in tests/test_dedup.py instead.
+    description="near-dup detection at scale: MinHash(64) + LSH(16 bands) "
+    "candidates, verified with exact shingle-Jaccard >= 0.7",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(d))
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i") / (F.col("za.sz") + F.col("zb.sz") - F.col("i"))).alias("jraw"),
+        )
+    )
+    return (
+        jac.where(F.col("jraw") >= 0.7)
+        .select("doc_a", "doc_b", F.round("jraw", 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_jaccard_exact",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.9
+    """,
+    description="exact token-set Jaccard pairs (>= 0.9): the verifiable "
+    "baseline the MinHash path approximates",
+)
+def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jraw = F.col("i") / (F.col("za.sz") + F.col("zb.sz") - F.col("i"))
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .where(jraw >= 0.9)
+        .select("doc_a", "doc_b", F.round(jraw, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # 64-bit xxhash64 majority-vote signature has no DuckDB
+    # twin; determinism + hamming-neighbor behavior covered in tests.
+    description="SimHash: 64-bit per-doc signature (majority vote over "
+    "token hash bits); near-dups = small hamming distance",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.xxhash64("w")
+    # per-bit vote: +1 when bit set, -1 otherwise; sign of the sum is the bit
+    votes = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(64)
+    ]
+    sigbits = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return sigbits.select("doc_id", sim.alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,175 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+* ``similarity_brute_topk`` — exact cosine top-k for a bounded query
+  set: broadcast the queries, stream the corpus once, rank per query.
+  At 100 TB the corpus side stays partition-parallel with no shuffle
+  until the (tiny) per-query top-k aggregation.
+* ``similarity_lsh_topk`` — the scale path: random-hyperplane (sign)
+  LSH buckets; candidates only within matching buckets. Approximate —
+  recall vs brute force is asserted in tests, not the SQL oracle.
+
+All vector math is built-in higher-order functions (``zip_with`` /
+``aggregate``) evaluated JVM-side — a deterministic left-to-right fold,
+matching DuckDB's sequential list kernels; remaining ulp noise is
+absorbed by rounding to 4 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+_N_QUERIES = 10    # query set: vec_id < 10
+_TOP_K = 5
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "similarity_brute_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id < {_N_QUERIES}),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.e, c.e)
+                         / (sqrt(list_dot_product(q.e, q.e))
+                            * sqrt(list_dot_product(c.e, c.e))), 4) AS cosine
+            FROM q JOIN c ON q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        WHERE rank <= {_TOP_K}
+    """,
+    description=f"exact cosine top-{_TOP_K} for {_N_QUERIES} query vectors: "
+    "broadcast queries × streamed corpus, window rank per query",
+)
+def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+    )
+    scored = (
+        emb.join(q, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            # rank on the ROUNDED value + id tiebreak so ordering is
+            # deterministic across engines despite last-ulp fold noise
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
+    "similarity_norms",
+    oracle="""
+        SELECT vec_id, label,
+               round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+        FROM embeddings
+    """,
+    description="per-vector L2 norm (narrow map, no shuffle)",
+)
+def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double(F.col("embedding"))
+    return emb.select("vec_id", "label", F.round(F.sqrt(dot(e, e)), 4).alias("l2_norm"))
+
+
+# ---------------------------------------------------------------------------
+# scale path: sign-LSH bucketing
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 12  # 4096 buckets
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed)."""
+    import random
+
+    rng = random.Random(7)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(_N_PLANES)]
+
+
+def lsh_bucket(col, dim: int = 64) -> Column:
+    """Sign-LSH bucket id: bit j = sign(embedding · plane_j)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(_hyperplanes(dim)):
+        d = dot(col, F.array(*[F.lit(v) for v in plane]))
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
+@register(
+    "similarity_lsh_topk",
+    oracle=None,  # approximate by construction; recall vs similarity_brute_topk
+    # asserted in tests/test_similarity.py
+    description="ANN scale path: random-hyperplane LSH buckets, cosine "
+    "top-k within bucket only (candidate set ~ n/4096 per query)",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("e")))
+    q = F.broadcast(
+        bucketed.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = (
+        bucketed.join(
+            q,
+            (F.col("bucket") == F.col("qbucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

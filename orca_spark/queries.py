@@ -1,0 +1,28 @@
+"""Aggregated query surface: importing this module populates the registry."""
+
+from __future__ import annotations
+
+from orca_spark.registry import REGISTRY, QuerySpec
+
+# importing the operator modules registers their queries
+from orca_spark.operators import (  # noqa: F401
+    dedup,
+    events,
+    io_ops,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
+
+
+def queries():
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def describe() -> dict[str, str]:
+    return {name: spec.description for name, spec in REGISTRY.items()}

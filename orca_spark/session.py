@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local tests run ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the configs
+below are chosen so the same code holds on a 1000-executor cluster:
+
+* AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+* ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this is overridden by AQE's coalescing anyway.
+* UTC session timezone — the reference stores UTC ``Instant``s
+  (``/root/reference/src/orca/core.clj:462-470``) and the DuckDB oracle
+  compares UTC-naive timestamps.
+* Arrow enabled for every Pandas-UDF boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "orca_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-aware defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.orc.enableVectorizedReader", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an externally-provided session.
+
+    The verify driver hands us its own SparkSession; pin the settings
+    correctness depends on (timezone for oracle comparison) without
+    restarting the JVM.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        # nanosecond-timestamp parquet (events table) reads as long
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; get_spark sets it at build time
+    return spark

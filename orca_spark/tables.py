@@ -1,0 +1,41 @@
+"""Test-table loaders for the driver's synthetic TPC-H-ish star schema."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Parquet scan — columnar, pushdown-capable.
+
+    Filters/projections applied by callers reach the scan via Catalyst
+    (check ``PushedFilters``/``ReadSchema`` in ``.explain``), so at
+    100 TB a query touching 2 columns of lineitem reads 2 column chunks,
+    not the table.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects by default; read nanos as long (legacy conf set in
+    # configure_session) and truncate to microseconds — exactly what DuckDB
+    # does when it surfaces the column as TIMESTAMP (µs).
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+    return df

@@ -1,0 +1,56 @@
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from orca_spark.session import get_spark  # noqa: E402
+from orca_spark.tables import TABLES  # noqa: E402
+
+SF_DIR = os.environ.get("ORCA_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("ORCA_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("orca_spark_tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def register_views(con, sf_dir: str) -> None:
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value — order-insensitive compare,
+    same spirit as the driver's value-hash."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # unify integer dtypes (duckdb int32 vs spark int64 for casts we align
+    # explicitly; leave floats alone so precision bugs surface)
+    return df.reset_index(drop=True)
+
+
+def compare_query(spark, duck_con, fn, oracle: str, sf_dir: str) -> None:
+    register_views(duck_con, sf_dir)
+    got = normalize(fn(spark, sf_dir).toPandas())
+    want = normalize(duck_con.execute(oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
