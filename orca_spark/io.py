@@ -126,7 +126,15 @@ def _stringify_row(row: Any, schema: T.StructType) -> tuple:
         vals = [row.get(n) for n in names]
     else:
         vals = list(row) + [None] * (len(names) - len(row))
-    return tuple(None if v is None else str(v) for v in vals)
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+        elif isinstance(v, bool):
+            out.append("true" if v else "false")  # JVM-style, not Python's 'True'
+        else:
+            out.append(str(v))
+    return tuple(out)
 
 
 def coerce_or_null(df: DataFrame, target: T.StructType | str) -> DataFrame:
