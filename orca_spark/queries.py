@@ -11,9 +11,11 @@ from orca_spark.operators import (  # noqa: F401
     io_ops,
     multimodal,
     relational,
+    relational2,
     similarity,
     text,
 )
+from orca_spark.streaming import jobs  # noqa: F401
 
 
 def queries():

@@ -37,7 +37,16 @@ def register_views(con, sf_dir: str) -> None:
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name and rows by value — order-insensitive compare,
     same spirit as the driver's value-hash."""
+    import numpy as np
+
     df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, np.ndarray))
+        ).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     # unify integer dtypes (duckdb int32 vs spark int64 for casts we align
