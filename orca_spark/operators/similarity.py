@@ -44,6 +44,27 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def brute_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFrame:
+    """Exact cosine top-k: ``emb``/``queries`` are (id, e array<double>)
+    DataFrames; queries broadcast, corpus streamed once."""
+    q = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    scored = emb.join(q, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        # rank on the ROUNDED value + id tiebreak so ordering is
+        # deterministic across engines despite last-ulp fold noise
+        F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 @register(
     "similarity_brute_topk",
     oracle=f"""
@@ -73,27 +94,7 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
-    q = F.broadcast(
-        emb.where(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-        )
-    )
-    scored = (
-        emb.join(q, F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            # rank on the ROUNDED value + id tiebreak so ordering is
-            # deterministic across engines despite last-ulp fold noise
-            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return brute_topk_df(emb, emb.where(F.col("vec_id") < _N_QUERIES))
 
 
 @register(
@@ -116,7 +117,11 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale path: sign-LSH bucketing
 # ---------------------------------------------------------------------------
 
-_N_PLANES = 12  # 4096 buckets
+# 8 planes → 256 buckets: enough selectivity to cut candidate sets ~256×
+# at scale while keeping near-duplicate recall ≈ 1 (miss probability for a
+# pair at angle θ is 1-(1-θ/π)^8 ≈ 8θ/π for small θ). Production lever for
+# higher recall at the same selectivity: multi-probe (flip one bit per probe).
+_N_PLANES = 8
 
 
 def _hyperplanes(dim: int) -> list[list[float]]:
@@ -148,9 +153,15 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
+    return lsh_topk_df(emb, emb.where(F.col("vec_id") < _N_QUERIES))
+
+
+def lsh_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFrame:
+    """ANN top-k within sign-LSH buckets (approximate; see tests for the
+    recall floor vs brute force)."""
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col("e")))
     q = F.broadcast(
-        bucketed.where(F.col("vec_id") < _N_QUERIES).select(
+        queries.withColumn("bucket", lsh_bucket(F.col("e"))).select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
             F.col("bucket").alias("qbucket"),
@@ -170,6 +181,6 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _TOP_K)
+        .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

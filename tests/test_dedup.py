@@ -1,0 +1,70 @@
+"""Behavioral tests for the probabilistic dedup paths (MinHash/SimHash)
+on planted near-duplicates — the checks the SQL oracle can't express."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orca_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the tall green trees "
+    "near the old stone bridge by the quiet river bank at dawn"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    near = BASE.replace("quiet river", "noisy river")  # one token changed
+    unrelated = " ".join(f"w{i}" for i in range(40))
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, near), (4, unrelated)],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_finds_planted_near_dups(planted):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dup_pairs(planted, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup: jaccard 1 on shingles
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup found
+    assert not any(4 in p for p in pairs)  # unrelated never pairs
+
+
+def test_minhash_signature_deterministic(planted):
+    s1 = minhash_signatures(planted).orderBy("doc_id").collect()
+    s2 = minhash_signatures(planted).orderBy("doc_id").collect()
+    assert [r.sig for r in s1] == [r.sig for r in s2]
+    # identical docs → identical signatures
+    assert s1[0].sig == s1[1].sig
+
+
+def hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_hamming_behavior(planted):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(planted).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical simhash
+    assert hamming(sigs[1], sigs[3]) <= 12  # one-token edit → few bits flip
+    assert hamming(sigs[1], sigs[4]) > 12  # unrelated text → far
+
+
+def test_multimodal_decode_plumbing(spark):
+    """Arrow-batched decode stub: schema + deterministic fake features."""
+    from orca_spark.operators.multimodal import attach_payload, decode_images
+
+    df = spark.createDataFrame([(1, "abcd"), (2, "xy")], "doc_id long, text string")
+    out = decode_images(attach_payload(df)).orderBy("doc_id").collect()
+    assert [f.name for f in decode_images(attach_payload(df)).schema.fields] == [
+        "doc_id", "n_bytes", "width", "height", "n_channels", "feature_mean",
+    ]
+    assert out[0].n_bytes == 4 and out[1].n_bytes == 2
+    assert out[0].width == 5 and out[0].height == 5  # len % 640 + 1, len % 480 + 1
+    assert out[0].n_channels == 3
