@@ -1,0 +1,99 @@
+"""Sources/sinks batch 2: CSV and JSON round-trips, partitioned ORC
+with partition pruning — the multi-format surface a format library's
+successor owes its users."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_spark.operators.io_ops import scratch_path
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+
+@register(
+    "csv_roundtrip_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*)                  AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    description="parquet → CSV (header, ISO timestamps) → typed read-back "
+    "→ aggregate; proves lossless text-format round-trip",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    path = scratch_path("csv_roundtrip", sf_dir)
+    (
+        o.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(o.schema)  # explicit schema: no inference pass at scale
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "json_roundtrip_agg",
+    oracle="""
+        SELECT event_type,
+               count(*)             AS n,
+               round(sum(value), 4) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    description="parquet → JSON lines → typed read-back → aggregate "
+    "(timestamps survive via ISO format)",
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    path = scratch_path("json_roundtrip", sf_dir)
+    e.write.mode("overwrite").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(path)
+    back = spark.read.schema(e.schema).option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "orc_partitioned_pruned",
+    oracle="""
+        SELECT l_linestatus,
+               count(*)                  AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+        GROUP BY l_linestatus
+    """,
+    description="hive-partitioned ORC write (partitionBy l_returnflag) + "
+    "partition-pruned read: the filter prunes directories, the scan never "
+    "touches other partitions — THE layout lever at 100 TB",
+)
+def orc_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_spark.io import read_orc, write_orc
+
+    li = load(spark, sf_dir, "lineitem")
+    path = scratch_path("orc_partitioned", sf_dir)
+    write_orc(li, path, compression="zstd", partition_by=["l_returnflag"])
+    back = read_orc(spark, path).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )

@@ -364,13 +364,16 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """,
-    description="left-anti join (NOT EXISTS)",
+    description="left-anti join (NOT EXISTS): customers with no big-ticket "
+    "order (every customer has *some* order in this corpus, so the filter "
+    "keeps the anti-join non-trivial)",
 )
 def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select("o_custkey")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000).select("o_custkey")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -433,13 +436,17 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey AS custkey FROM customer
         EXCEPT
-        SELECT o_custkey AS custkey FROM orders
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
-    description="EXCEPT (distinct): customers that never ordered",
+    description="EXCEPT (distinct): customers with no urgent order",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.subtract(o)  # subtract == EXCEPT DISTINCT
 
 

@@ -113,6 +113,74 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", F.round(F.sqrt(dot(e, e)), 4).alias("l2_norm"))
 
 
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS raw
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, round(raw, 4) AS cosine
+        FROM scored WHERE raw >= 0.4
+    """,
+    description="embedding-cosine near-dup pairs (threshold 0.4): the "
+    "semantic-dedup primitive; at 100 TB run it through the LSH buckets "
+    "(same scoring restricted to candidates) instead of all-pairs",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    raw = cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            raw.alias("raw"),
+        )
+        .where(F.col("raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+        WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        dims AS (
+            SELECT label, i, avg(v[i]) AS c
+            FROM e, generate_series(1, 64) AS t(i)
+            GROUP BY label, i
+        )
+        SELECT label,
+               round(sqrt(sum(c * c)), 4) AS centroid_norm,
+               count(*)                   AS dim
+        FROM dims
+        GROUP BY label
+    """,
+    description="per-label centroid L2 norm: posexplode → per-dimension "
+    "mean → norm (the cluster-quality statistic for IVF-style indexing)",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("e")
+    )
+    dims = emb.select("label", F.posexplode("e").alias("i", "x"))
+    cent = dims.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # scale path: sign-LSH bucketing
 # ---------------------------------------------------------------------------

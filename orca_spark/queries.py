@@ -9,11 +9,14 @@ from orca_spark.operators import (  # noqa: F401
     dedup,
     events,
     io_ops,
+    io_ops2,
     multimodal,
     relational,
     relational2,
+    relational3,
     similarity,
     text,
+    text2,
 )
 from orca_spark.streaming import jobs  # noqa: F401
 

@@ -136,6 +136,27 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "session_start", "session_end", "n_events")
 
 
+@register(
+    "streaming_static_join",
+    oracle="""
+        SELECT c_mktsegment, event_type, count(*) AS n
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """,
+    description="stream-static join: streaming events enriched against the "
+    "static customer dim (dim broadcast per micro-batch), then windowless "
+    "grouped count in complete mode",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_spark.tables import load
+
+    ev = stream_events(spark, sf_dir)
+    dim = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    joined = ev.join(dim, ev.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(agg, "complete").select("c_mktsegment", "event_type", "n")
+
+
 _STATE_SCHEMA = "n bigint, total double"
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 
