@@ -1,0 +1,121 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+``asof_join(left, right, on, left_ts, right_ts)`` attaches to each left
+row the most recent right row for the same key with ``right_ts <=
+left_ts`` — the canonical point-in-time enrichment (trades vs quotes,
+events vs dimension snapshots).
+
+Scale design — the union+window pattern, NOT a range cross join:
+
+1. tag and union both sides (schema-aligned with nulls),
+2. one shuffle: window partitioned by key, ordered by (ts, side-tag),
+3. ``last_value(..., ignorenulls)`` carries the latest right-side
+   attributes forward onto each left row,
+4. filter back to left rows.
+
+Cost is one shuffle + one sort of |L|+|R| rows — no per-row range scan
+and no candidate explosion, so it holds at 100 TB where the naive
+``L join R on key and r_ts <= l_ts`` + argmax approach produces
+|L| x |matching R| intermediates. DuckDB's native ASOF JOIN is the
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: latest right row with right_ts <= left_ts.
+
+    ``on``: equi-key present on both sides. ``value_cols``: right-side
+    columns to attach (null when no right row precedes the left row).
+    """
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # right rows sort first on ts ties
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_c_{c}").alias(c) for c in value_cols],
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+        WITH o AS (
+            -- one row per (customer, date): ties on the as-of timestamp
+            -- would make "the latest order" engine-dependent, so both
+            -- engines dedupe identically first (keep max orderkey)
+            SELECT o_custkey, o_orderdate,
+                   arg_max(o_orderkey, o_orderkey)   AS o_orderkey,
+                   arg_max(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders
+            GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS o_orderkey,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    description="as-of join: each event enriched with the user's most "
+    "recent order at event time — union+window pattern (one shuffle, "
+    "no range-join explosion); oracle is DuckDB's native ASOF JOIN",
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    out = asof_join(
+        e, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )

@@ -73,6 +73,29 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_merge_schema_read",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders
+        UNION ALL
+        SELECT o_orderkey, NULL, o_orderpriority FROM orders
+    """,
+    description="schema evolution: two ORC files with different-but-"
+    "mergeable column sets read back with mergeSchema=true → union of "
+    "fields, nulls where absent (the distributed form of the reference's "
+    "struct-union merge lattice, core.clj:413-417)",
+)
+def orc_merge_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_spark.io import read_orc, write_orc
+
+    o = load(spark, sf_dir, "orders")
+    base = scratch_path("orc_mergeschema", sf_dir)
+    write_orc(o.select("o_orderkey", "o_totalprice"), f"{base}/a")
+    write_orc(o.select("o_orderkey", "o_orderpriority"), f"{base}/b")
+    back = spark.read.option("mergeSchema", "true").orc([f"{base}/a", f"{base}/b"])
+    return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
     "orc_partitioned_pruned",
     oracle="""
         SELECT l_linestatus,

@@ -6,6 +6,7 @@ from orca_spark.registry import REGISTRY, QuerySpec
 
 # importing the operator modules registers their queries
 from orca_spark.operators import (  # noqa: F401
+    asof,
     dedup,
     events,
     io_ops,
@@ -15,6 +16,7 @@ from orca_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     similarity,
+    skew,
     text,
     text2,
 )

@@ -143,6 +143,23 @@ def test_golden_decimal_orc(spark):
     assert s["sum"] == Decimal("1998301.099")
 
 
+def test_golden_alltypes_orc(spark):
+    """The reference ships the canonical all-types ORC file
+    (test-resources/TestOrcFile.test1.orc — unused by its own tests);
+    reading it proves full type coverage incl. nested list/map/struct."""
+    path = "/root/reference/test-resources/TestOrcFile.test1.orc"
+    if not os.path.exists(path):
+        pytest.skip("reference golden file unavailable")
+    df = read_orc(spark, path)
+    assert df.count() == 2
+    ddl = df.schema.simpleString()
+    for fragment in ["boolean", "tinyint", "smallint", "int", "bigint",
+                     "float", "double", "binary", "string", "array<", "map<", "struct<"]:
+        assert fragment in ddl, fragment
+    rows = df.collect()  # full materialization incl. nested values
+    assert rows[0].asDict(recursive=True)
+
+
 def test_stats_counts_nulls(spark, orc_path):
     """stats :count is row count including nulls (core.clj:220-226)."""
     write_rows(spark, orc_path, [(1,), (None,), (3,)], "struct<x:int>")
