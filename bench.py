@@ -33,6 +33,8 @@ HEADLINE = [
     "text_word_frequencies",
     "similarity_brute_topk",
     "orc_roundtrip_agg",
+    "asof_join_latest_order",
+    "orc_partitioned_pruned",
 ]
 
 

@@ -39,14 +39,24 @@ def write_orc(
     row_index_stride: int | None = None,
     compression: str | None = None,
     partition_by: list[str] | None = None,
+    orc_options: dict | None = None,
 ) -> None:
     """Write a DataFrame as ORC with the reference's writer knobs.
 
     Distributed sink: each task writes its partition as an ORC file;
     ``partition_by`` produces hive-style directory partitioning for
     partition pruning on later reads (essential at 100 TB).
+
+    ``orc_options`` passes any further ``orc.*`` table properties through
+    (e.g. ``orc.compress.size``, ``orc.bloom.filter.columns``). The
+    reference's remaining knobs map to session-level hadoop confs:
+    ``:orc-memory-pool`` → ``spark.hadoop.hive.exec.orc.memory.pool``,
+    ``:enforce-buffer-size?`` → ``orc.buffer.size.enforce``
+    (core.clj:624-635).
     """
     writer = df.write.mode("overwrite" if overwrite else "errorifexists")
+    for k, v in (orc_options or {}).items():
+        writer = writer.option(k, str(v))
     if stripe_size is not None:
         writer = writer.option("orc.stripe.size", str(stripe_size))
     if row_index_stride is not None:
