@@ -181,6 +181,168 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_vs_lexical_dedup",
+    oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sem AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS raw
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ),
+        tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+                FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT s.doc_a, s.doc_b,
+               round(s.raw, 4) AS cosine,
+               round(coalesce(i / (sa.sz + sb.sz - i), 0), 4) AS jaccard
+        FROM sem s
+        LEFT JOIN inter ON inter.doc_a = s.doc_a AND inter.doc_b = s.doc_b
+        LEFT JOIN sizes sa ON sa.doc_id = s.doc_a
+        LEFT JOIN sizes sb ON sb.doc_id = s.doc_b
+        WHERE s.raw >= 0.4
+    """,
+    description="semantic dedup cross-checked with lexical: embedding-"
+    "cosine candidate pairs annotated with their token-set Jaccard "
+    "(doc_id aligns with vec_id in this corpus) — the agreement view a "
+    "dedup pipeline uses to tune thresholds",
+)
+def semantic_vs_lexical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sem = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cosine(F.col("a.e"), F.col("b.e")).alias("raw"),
+        )
+        .where(F.col("raw") >= 0.4)
+    )
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        tok.alias("ta")
+        .join(tok.alias("tb"),
+              (F.col("ta.w") == F.col("tb.w")) & (F.col("ta.doc_id") < F.col("tb.doc_id")))
+        .groupBy(F.col("ta.doc_id").alias("ia"), F.col("tb.doc_id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        sem.join(inter, (F.col("ia") == F.col("doc_a")) & (F.col("ib") == F.col("doc_b")), "left")
+        .join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"), "left")
+        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"), "left")
+    )
+    jac = F.coalesce(
+        F.col("i") / (F.col("za.sz") + F.col("zb.sz") - F.col("i")), F.lit(0.0)
+    )
+    return out.select(
+        "doc_a", "doc_b",
+        F.round("raw", 4).alias("cosine"),
+        F.round(jac, 4).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale path: IVF (coarse-quantizer cluster pruning)
+# ---------------------------------------------------------------------------
+
+def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe: int = 1):
+    """Attach nearest-centroid cluster ids. ``centroids`` is a small
+    driver-side list (cluster_id, vector) — broadcast as literals into a
+    codegen'd argmin; corpus pass is shuffle-free."""
+    def dists(col):
+        return F.array(
+            *[
+                F.struct(
+                    dot(
+                        F.zip_with(col, F.array(*[F.lit(x) for x in vec]), lambda a, b: a - b),
+                        F.zip_with(col, F.array(*[F.lit(x) for x in vec]), lambda a, b: a - b),
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, vec in centroids
+            ]
+        )
+
+    probed = F.slice(F.array_sort(dists(F.col("e"))), 1, nprobe)
+    return emb.withColumn("clusters", F.transform(probed, lambda s: s["cid"]))
+
+
+def ivf_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K, nprobe: int = 2) -> DataFrame:
+    """IVF ANN: corpus assigned to its nearest coarse centroid, queries
+    probe the ``nprobe`` nearest clusters; cosine scoring touches only
+    those clusters' members (~nprobe/n_clusters of the corpus)."""
+    cents = [
+        (int(r.label), list(r.c))
+        for r in _label_centroids(emb).collect()  # tiny: n_clusters × dim
+    ]
+    corpus = ivf_assign(emb, cents, nprobe=1).select(
+        "vec_id", "e", F.element_at("clusters", 1).alias("cluster")
+    )
+    q = F.broadcast(
+        ivf_assign(queries, cents, nprobe=nprobe).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode("clusters").alias("cluster"),
+        )
+    )
+    scored = corpus.join(q, ["cluster"]).where(
+        F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse quantizer seeded from the label column when present, else
+    from vec_id buckets (a stand-in for k-means at this corpus size)."""
+    if "label" in emb.columns:
+        key = F.col("label")
+    else:
+        key = F.pmod(F.col("vec_id"), F.lit(8)).alias("label")
+    dims = emb.select(key.alias("label"), F.posexplode("e").alias("i", "x"))
+    cent = dims.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("label", F.transform("ic", lambda s: s["c"]).alias("c"))
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=None,  # cluster pruning is approximate; recall vs brute force
+    # asserted in tests/test_similarity.py
+    description="IVF ANN: label-seeded coarse centroids, corpus assigned "
+    "to nearest centroid, queries probe 2 clusters — candidate set "
+    "~nprobe/n_clusters of the corpus",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e"), "label"
+    )
+    return ivf_topk_df(emb, emb.where(F.col("vec_id") < _N_QUERIES), nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # scale path: sign-LSH bucketing
 # ---------------------------------------------------------------------------

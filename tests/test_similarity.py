@@ -42,6 +42,18 @@ def test_lsh_bucket_deterministic_and_colocates_duplicates(emb):
     assert buckets == b2  # fixed hyperplanes → stable bucketing
 
 
+def test_ivf_topk_finds_planted_duplicate(emb):
+    from orca_spark.operators.similarity import ivf_topk_df
+
+    q = emb.where(F.col("vec_id") == 0)
+    top = ivf_topk_df(emb, q, k=3, nprobe=2).orderBy("rank").collect()
+    # identical vector maps to the identical nearest centroid → always found
+    assert top[0].neighbor_id == 50 and top[0].cosine == 1.0
+    brute = {r.neighbor_id: r.cosine for r in brute_topk_df(emb, q, k=100).collect()}
+    for r in top:  # scores within probed clusters must match brute force
+        assert math.isclose(brute[r.neighbor_id], r.cosine, abs_tol=1e-9)
+
+
 def test_lsh_topk_exact_within_bucket(emb):
     """The LSH path must return exactly the brute-force ranking restricted
     to the query's bucket — approximation comes only from bucketing."""
