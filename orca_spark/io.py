@@ -167,11 +167,13 @@ def coerce_or_null(df: DataFrame, target: T.StructType | str) -> DataFrame:
 
 def _try_cast(col, dtype: T.DataType):
     if isinstance(dtype, T.TimestampType):
-        # bare numbers are epoch-millis in the reference (core.clj:469-470)
-        return F.coalesce(
-            F.try_to_timestamp(col),
+        # bare numbers are epoch-millis in the reference (core.clj:469-470);
+        # check digits FIRST — Spark's try_to_timestamp would otherwise
+        # read '1500' as the year 1500
+        return F.when(
+            col.rlike(r"^[+-]?\d+$"),
             F.timestamp_millis(col.try_cast(T.LongType())),
-        )
+        ).otherwise(F.try_to_timestamp(col))
     if isinstance(dtype, T.DateType):
         return col.try_cast(T.DateType())
     return col.try_cast(dtype)
