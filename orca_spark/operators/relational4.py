@@ -1,0 +1,135 @@
+"""Relational surface, batch 4: nation-pair trade (TPC-H Q7 shape),
+distribution window functions, rolling time-window aggregates, regex
+extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+
+@register(
+    "q7_nation_trade",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+              AND n2.n_name IN ('NATION_3', 'NATION_7')
+              AND n1.n_name <> n2.n_name
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    description="TPC-H Q7: bilateral nation trade volume by year — double "
+    "dim broadcast, fact joins under AQE",
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    nations = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(nations.where(F.col("n_name").isin("NATION_3", "NATION_7")).alias("n1"))
+    n2 = F.broadcast(nations.where(F.col("n_name").isin("NATION_3", "NATION_7")).alias("n2"))
+    j = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, s.s_nationkey == F.col("n1.n_nationkey"))
+        .join(n2, c.c_nationkey == F.col("n2.n_nationkey"))
+        .where(F.col("n1.n_name") != F.col("n2.n_name"))
+    )
+    return (
+        j.select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4)       OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist()    OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    description="distribution window functions: ntile quartiles, "
+    "percent_rank, cume_dist over a global ordering",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "events_rolling_7day",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT day, n,
+               CAST(sum(n) OVER (ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7day
+        FROM daily
+    """,
+    description="rolling 7-day event counts: daily pre-aggregation (tiny) "
+    "then an ordered window — never a per-event range scan",
+)
+def events_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # day stays a timestamp: DATE round-trips differently through the
+    # comparison layer (datetime.date vs datetime64) than TIMESTAMP does
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select("day", "n", F.sum("n").over(w).alias("n_7day"))
+
+
+@register(
+    "scalar_regex_extract",
+    oracle=r"""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_value,
+               regexp_matches(props, '^\{.*\}$')                        AS looks_like_json
+        FROM events
+    """,
+    description="regex extraction + predicate over the JSON-ish props "
+    "column (codegen'd regexp, no UDF)",
+)
+def scalar_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("k_value"),
+        F.col("props").rlike(r"^\{.*\}$").alias("looks_like_json"),
+    )

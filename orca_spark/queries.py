@@ -15,6 +15,7 @@ from orca_spark.operators import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
     skew,
     text,
