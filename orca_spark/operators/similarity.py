@@ -386,12 +386,27 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_df(emb, emb.where(F.col("vec_id") < _N_QUERIES))
 
 
-def lsh_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFrame:
+def lsh_topk_df(
+    emb: DataFrame, queries: DataFrame, k: int = _TOP_K, multiprobe: bool = True
+) -> DataFrame:
     """ANN top-k within sign-LSH buckets (approximate; see tests for the
-    recall floor vs brute force)."""
+    recall floor vs brute force).
+
+    ``multiprobe=True`` probes the query's bucket plus every bucket at
+    hamming distance 1 (flip one hyperplane sign) — 9 buckets instead
+    of 1, recovering near-neighbors that landed just across one
+    hyperplane, at ~9× the (still tiny) candidate cost.
+    """
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col("e")))
+    qb = queries.withColumn("bucket", lsh_bucket(F.col("e")))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(_N_PLANES)],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
     q = F.broadcast(
-        queries.withColumn("bucket", lsh_bucket(F.col("e"))).select(
+        qb.select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
             F.col("bucket").alias("qbucket"),

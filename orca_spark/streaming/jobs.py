@@ -157,6 +157,50 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete").select("c_mktsegment", "event_type", "n")
 
 
+@register(
+    "streaming_foreach_batch_orc",
+    oracle="""
+        SELECT event_type,
+               count(*)             AS n,
+               round(sum(value), 4) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    description="exactly-once streaming sink: foreachBatch writes each "
+    "micro-batch to an epoch-keyed ORC directory (idempotent overwrite "
+    "per epoch — replays after failure rewrite the same epoch, never "
+    "duplicate), then the ORC output is read back and aggregated",
+)
+def streaming_foreach_batch_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from orca_spark.operators.io_ops import scratch_path
+
+    out = scratch_path("stream_orc_sink", sf_dir)
+    ckpt = scratch_path("stream_orc_ckpt", sf_dir)
+    for p in (out, ckpt):  # fresh run: reprocess everything deterministically
+        shutil.rmtree(p, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # epoch-keyed overwrite = idempotent: a retried epoch replaces its
+        # own directory instead of appending duplicates
+        batch_df.write.mode("overwrite").orc(f"{out}/epoch={epoch_id}")
+
+    ev = stream_events(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 _STATE_SCHEMA = "n bigint, total double"
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 
