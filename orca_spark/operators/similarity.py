@@ -279,14 +279,38 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe:
     return emb.withColumn("clusters", F.transform(probed, lambda s: s["cid"]))
 
 
+def kmeans_centroids(
+    emb: DataFrame, iters: int = 3
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means for the coarse quantizer: seed from label means
+    (or vec_id buckets), then ``iters`` rounds of assign → re-mean.
+    Each round is one distributed aggregation plus a tiny
+    (k × dim) collect; fully deterministic (no random init)."""
+    cents = [(int(r.label), list(r.c)) for r in _label_centroids(emb).collect()]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, nprobe=1).select(
+            "e", F.element_at("clusters", 1).alias("cluster")
+        )
+        dims = assigned.select("cluster", F.posexplode("e").alias("i", "x"))
+        mean = dims.groupBy("cluster", "i").agg(F.avg("x").alias("c"))
+        new = (
+            mean.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+            .select("cluster", F.transform("ic", lambda s: s["c"]).alias("c"))
+            .collect()
+        )
+        updated = {int(r.cluster): list(r.c) for r in new}
+        # a cluster that lost all members keeps its previous centroid
+        cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def ivf_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K, nprobe: int = 2) -> DataFrame:
-    """IVF ANN: corpus assigned to its nearest coarse centroid, queries
-    probe the ``nprobe`` nearest clusters; cosine scoring touches only
-    those clusters' members (~nprobe/n_clusters of the corpus)."""
-    cents = [
-        (int(r.label), list(r.c))
-        for r in _label_centroids(emb).collect()  # tiny: n_clusters × dim
-    ]
+    """IVF ANN: corpus assigned to its nearest coarse centroid (k-means
+    quantizer), queries probe the ``nprobe`` nearest clusters; cosine
+    scoring touches only those clusters' members
+    (~nprobe/n_clusters of the corpus)."""
+    cents = kmeans_centroids(emb)
     corpus = ivf_assign(emb, cents, nprobe=1).select(
         "vec_id", "e", F.element_at("clusters", 1).alias("cluster")
     )

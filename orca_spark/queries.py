@@ -7,6 +7,7 @@ from orca_spark.registry import REGISTRY, QuerySpec
 # importing the operator modules registers their queries
 from orca_spark.operators import (  # noqa: F401
     asof,
+    bucketing,
     dedup,
     events,
     io_ops,

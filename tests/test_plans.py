@@ -60,6 +60,28 @@ def test_q1_partial_aggregation(spark):
     assert "partial_sum" in p or "partial_count" in p
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: the fact-fact join must not shuffle
+    either side."""
+    from orca_spark.operators.bucketing import bucketed_tables
+
+    pair = bucketed_tables(spark, SF_DIR)
+    assert pair is not None, "catalog could not persist bucketed tables"
+    # at tiny SF Catalyst prefers broadcast (also shuffle-free); disable it
+    # to expose the bucketed sort-merge path the plan relies on at scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_str(spark, "bucketed_join_orders_lineitem")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in p
+    assert "SortMergeJoin" in p
+    # no Exchange may feed the join inputs (scan → sort → join directly)
+    assert "hashpartitioning(o_orderkey" not in p
+    assert "hashpartitioning(l_orderkey" not in p
+
+
 def test_whole_stage_codegen_everywhere_hot(spark):
     """Scalar/text pipelines must stay inside whole-stage codegen (no
     Python row loop in the hot path)."""
