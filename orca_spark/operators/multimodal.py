@@ -98,6 +98,38 @@ def decode_images(df: DataFrame) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS INT)                         AS frame_idx,
+               md5(substr(text, i * 64 + 1, 64))      AS frame_digest,
+               CAST(length(substr(text, i * 64 + 1, 64)) AS BIGINT) AS frame_bytes
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(floor((length(text) - 1) / 64) AS BIGINT) + 1)) AS i
+            FROM documents
+        )
+    """,
+    description="frame sampling for video-like payloads: payload split "
+    "into fixed-size frames (64-byte stand-ins), one row per frame with "
+    "digest — explode stays JVM-side; a real decoder slots into the same "
+    "(doc_id, frame_idx, bytes) shape via mapInPandas",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_frames = F.floor((F.length("text") - 1) / 64).cast("int")
+    idx = F.sequence(F.lit(0), n_frames)
+    frames = d.select("doc_id", "text", F.explode(idx).alias("frame_idx"))
+    chunk = F.substring(F.col("text"), F.col("frame_idx") * 64 + 1, F.lit(64))
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5(F.encode(chunk, "UTF-8")).alias("frame_digest"),
+        F.length(chunk).cast("long").alias("frame_bytes"),
+    )
+
+
+@register(
     "multimodal_decode_features",
     oracle="""
         SELECT doc_id,

@@ -116,6 +116,26 @@ def events_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlated_min_per_group",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (SELECT min(s_acctbal) FROM supplier i
+                           WHERE i.s_nationkey = s.s_nationkey)
+    """,
+    description="correlated min subquery (TPC-H Q2 shape): the row(s) "
+    "achieving each group's minimum, decorrelated to a join on the agg",
+)
+def correlated_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    mins = s.groupBy(F.col("s_nationkey").alias("k")).agg(F.min("s_acctbal").alias("m"))
+    return (
+        s.join(mins, (s.s_nationkey == mins.k) & (s.s_acctbal == mins.m))
+        .select("s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@register(
     "scalar_regex_extract",
     oracle=r"""
         SELECT event_id,
