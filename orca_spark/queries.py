@@ -17,6 +17,7 @@ from orca_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    scalars2,
     similarity,
     skew,
     text,
