@@ -43,6 +43,9 @@ def asof_join(
     ``on``: equi-key present on both sides. ``value_cols``: right-side
     columns to attach (null when no right row precedes the left row).
     """
+    overlap = set(left.columns) & set(value_cols)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
     lcols = [c for c in left.columns]
     tagged_left = left.select(
         F.col(on).alias("_k"),

@@ -85,6 +85,23 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_last_persisted: list = []
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    """Persist df, releasing whatever this module persisted previously —
+    repeated query invocations in one session hold at most one cached
+    shingle relation instead of leaking executor storage."""
+    while _last_persisted:
+        try:
+            _last_persisted.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _last_persisted.append(df)
+    return df
+
+
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id → exploded distinct token n-gram shingle hashes (i64).
 
@@ -160,7 +177,7 @@ def minhash_near_dup_pairs(d: DataFrame, threshold: float = 0.7, n: int = 3) -> 
     verification join; persist it so the corpus is tokenized+hashed
     once, not three times (at 100 TB: one scan instead of three).
     """
-    sh = _shingles(d, n).persist()
+    sh = _persist_scoped(_shingles(d, n))
     cand = lsh_candidate_pairs(_signatures_from_shingles(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (

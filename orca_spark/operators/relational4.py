@@ -76,7 +76,9 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
     """,
     description="distribution window functions: ntile quartiles, "
-    "percent_rank, cume_dist over a global ordering",
+    "percent_rank, cume_dist over a global ordering. NOTE: an unpartitioned "
+    "window is inherently single-reducer; at 100 TB prefer approx "
+    "percentile cutoffs (percentile_approx) or partition the ranking",
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
