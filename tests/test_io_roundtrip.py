@@ -53,6 +53,17 @@ ROUNDTRIP_CASES = [
     ("struct<x:map<string,string>>", [({"a": None},)]),
     ("struct<x:binary>", [(b"\x00\x01",)]),
     ("struct<x:boolean,y:float>", [(True, 1.5), (False, None)]),
+    # edge cases beyond the reference's table
+    ("struct<x:decimal(38,10)>", [(Decimal("9999999999999999999999999999.0000000001"),), (None,)]),
+    ("struct<x:timestamp>", [(dt.datetime(1969, 12, 31, 23, 59, 58, 999999),)]),  # pre-epoch
+    # NOTE: [epoch-0.5s, epoch) is excluded — see test_orc_pre_epoch_rounding_bug
+    ("struct<x:date>", [(dt.date(1582, 10, 16),), (dt.date(9999, 12, 31),)]),  # calendar edges
+    ("struct<x:string>", [("Ünïcodé ✓ 中文 \n tab\t",), ("",)]),
+    (
+        "struct<m:map<string,array<struct<a:int,b:string>>>>",
+        [({"k": [(1, "x"), (2, None)]},), ({"empty": []},)],
+    ),
+    ("struct<x:array<map<string,int>>>", [([{"a": 1}, {}],)]),
 ]
 
 
@@ -141,6 +152,19 @@ def test_golden_decimal_orc(spark):
     assert s["max"] == Decimal("1999.2")
     assert s["min"] == Decimal("-1000.5")
     assert s["sum"] == Decimal("1998301.099")
+
+
+@pytest.mark.xfail(
+    reason="upstream Spark ORC writer rounds timestamps in [epoch-0.5s, "
+    "epoch) up by one second (seconds computed with round() instead of "
+    "floor()); parquet round-trips the same values correctly. Pinned so "
+    "an upstream fix shows up as XPASS.",
+    strict=True,
+)
+def test_orc_pre_epoch_rounding_bug(spark, orc_path):
+    frame = roundtrip(spark, orc_path, [(dt.datetime(1969, 12, 31, 23, 59, 59, 500000),)],
+                      "struct<x:timestamp>")
+    assert frame["x"] == [dt.datetime(1969, 12, 31, 23, 59, 59, 500000)]
 
 
 def test_golden_alltypes_orc(spark):
