@@ -6,6 +6,7 @@ from orca_spark.registry import REGISTRY, QuerySpec
 
 # importing the operator modules registers their queries
 from orca_spark.operators import (  # noqa: F401
+    analytics,
     asof,
     bucketing,
     dedup,
