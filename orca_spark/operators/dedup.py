@@ -262,6 +262,88 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Cluster ids via iterative min-label propagation.
+
+    ``nodes``: (doc_id); ``edges``: (doc_a, doc_b) undirected. Each
+    round joins current labels across edges and keeps the minimum —
+    labels converge to the component's minimum id in O(diameter)
+    rounds (with an early-exit convergence check). Every round is one
+    join + one aggregate; this is the dedup-clustering step that picks
+    one canonical document per near-duplicate group.
+    """
+    # localCheckpoint (not persist): truncates the lineage each round so
+    # the k-th iteration plans a 2-join query, not a 2k-join one — without
+    # it, driver-side re-planning dominates past ~10 rounds.
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                "old_label",
+                F.least(F.col("old_label"), F.coalesce("nmin", F.col("old_label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+                  FROM documents) a
+            JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+                  FROM documents) b
+              ON a.doc_id < b.doc_id
+             AND len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+            UNION SELECT doc_id, doc_id FROM documents
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src
+    """,
+    description="near-dup clustering: connected components over the "
+    ">=0.9 token-Jaccard pair graph via iterative min-label propagation "
+    "(one join+agg per round, O(diameter) rounds); oracle is a recursive-"
+    "CTE transitive closure",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup_jaccard_exact(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(d.select("doc_id"), pairs)
+
+
 def simhash_signatures(d: DataFrame) -> DataFrame:
     """64-bit SimHash per (doc_id, text) row via per-bit majority vote."""
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
