@@ -56,6 +56,20 @@ def test_simhash_hamming_behavior(planted):
     assert hamming(sigs[1], sigs[4]) > 12  # unrelated text → far
 
 
+def test_connected_components_known_graph(spark):
+    """Two components + an isolated node, with a chain to force multiple
+    propagation rounds."""
+    from orca_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # component {1,2,3,4} as a chain (diameter 3), component {5,6}, isolated 7, 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
 def test_multimodal_decode_plumbing(spark):
     """Arrow-batched decode stub: schema + deterministic fake features."""
     from orca_spark.operators.multimodal import attach_payload, decode_images
