@@ -401,7 +401,7 @@ def lsh_bucket(col, dim: int = 64) -> Column:
     oracle=None,  # approximate by construction; recall vs similarity_brute_topk
     # asserted in tests/test_similarity.py
     description="ANN scale path: random-hyperplane LSH buckets, cosine "
-    "top-k within bucket only (candidate set ~ n/4096 per query)",
+    "top-k within multi-probed buckets (candidate set ~ 9n/256 per query)",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(

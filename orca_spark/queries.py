@@ -18,6 +18,7 @@ from orca_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     scalars2,
     similarity,
     skew,
