@@ -14,6 +14,7 @@ from orca_spark.operators import (  # noqa: F401
     io_ops,
     io_ops2,
     multimodal,
+    profile,
     relational,
     relational2,
     relational3,
