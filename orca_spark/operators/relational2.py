@@ -254,12 +254,14 @@ def arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_agg_sorted",
     oracle="""
-        SELECT n_nationkey, list(s_suppkey ORDER BY s_suppkey) AS suppliers
+        SELECT n_nationkey,
+               array_to_string(list(s_suppkey ORDER BY s_suppkey), ',') AS suppliers
         FROM nation JOIN supplier ON n_nationkey = s_nationkey
         GROUP BY n_nationkey
     """,
     description="grouped array aggregation with deterministic (sorted) "
-    "element order",
+    "element order; emitted as a joined string so the comparison surface "
+    "is scalar (array renderings differ between engines)",
 )
 def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(load(spark, sf_dir, "nation"))
@@ -267,5 +269,12 @@ def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.join(s, n.n_nationkey == s.s_nationkey)
         .groupBy("n_nationkey")
-        .agg(F.sort_array(F.collect_list("s_suppkey")).alias("suppliers"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s_suppkey")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("suppliers")
+        )
     )
