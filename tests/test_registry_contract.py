@@ -1,0 +1,59 @@
+"""Registry-level contract guards: properties every current and future
+query must satisfy for the driver's comparison to be meaningful."""
+
+from hypothesis import given, settings, strategies as st
+
+from orca_spark.queries import oracle_sql, queries
+from orca_spark.registry import REGISTRY
+
+
+def test_every_query_named_and_described():
+    for name, spec in REGISTRY.items():
+        assert name == name.lower() and " " not in name, name
+        assert spec.description, f"{name} has no description"
+
+
+def test_oracles_are_subset_with_known_exceptions():
+    q, o = queries(), oracle_sql()
+    assert set(o) <= set(q)
+    oracleless = set(q) - set(o)
+    # only the probabilistic operators may skip the oracle — each must be
+    # behavior-tested instead (tests/test_dedup.py, tests/test_similarity.py)
+    assert oracleless == {
+        "dedup_minhash",
+        "dedup_simhash",
+        "similarity_lsh_topk",
+        "similarity_ivf_topk",
+    }, oracleless
+
+
+def test_query_schemas_have_unique_sortable_columns(spark):
+    """Duplicate column names would make the driver's sort-by-name compare
+    ambiguous; check the plan schema without executing."""
+    for name, spec in REGISTRY.items():
+        if name.startswith(("orc_", "csv_", "json_", "streaming_", "bucketed_")):
+            continue  # side-effecting queries execute on build; covered by oracle tests
+        df = spec.fn(spark, "/root/testdata/sf0.001")
+        cols = df.columns
+        assert len(cols) == len(set(cols)), f"{name} has duplicate columns: {cols}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=20), st.text(max_size=20)),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_coerce_or_null_never_raises(garbage):
+    """Lenient coercion must contain any input (core.clj:443-450): random
+    garbage strings cast to typed columns without ever failing the job."""
+    from orca_spark.io import coerce_or_null
+    from orca_spark.session import get_spark
+
+    spark = get_spark("hypo")
+    df = spark.createDataFrame(garbage, "a string, b string")
+    out = coerce_or_null(df, "a bigint, b timestamp, c date")
+    rows = out.collect()  # must not raise
+    assert len(rows) == len(garbage)
