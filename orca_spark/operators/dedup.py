@@ -109,15 +109,21 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     slice — no intermediate concatenated strings (2-3× cheaper than
     string-building at 260k shingles/5k docs; at 100 TB this is the
     difference between hashing and allocating the corpus twice).
+
+    Documents shorter than ``n`` tokens fall back to per-token hashes
+    (a token-set signature), so ultra-short docs still participate in
+    near-dup candidacy instead of silently dropping out.
     """
     toks = F.split(F.col("text"), " ")
-    d = df.where(F.size(toks) >= n).withColumn("_tk", toks)
+    d = df.withColumn("_tk", toks)
     idx = F.sequence(F.lit(1), F.size(F.col("_tk")) - (n - 1))
     grams = F.transform(
         idx,
         lambda i: F.xxhash64(*[F.element_at(F.col("_tk"), i + j) for j in range(n)]),
     )
-    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
+    short = F.transform(F.col("_tk"), lambda t: F.xxhash64(t))
+    picked = grams if n == 1 else F.when(F.size(F.col("_tk")) >= n, grams).otherwise(short)
+    return d.select("doc_id", F.explode(F.array_distinct(picked)).alias("sh"))
 
 
 def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
@@ -284,6 +290,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -304,6 +311,13 @@ def connected_components(
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # silently-wrong labels are worse than a loud failure: a component
+        # with diameter > max_iter has not converged
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -335,12 +349,19 @@ def connected_components(
     """,
     description="near-dup clustering: connected components over the "
     ">=0.9 token-Jaccard pair graph via iterative min-label propagation "
-    "(one join+agg per round, O(diameter) rounds); oracle is a recursive-"
-    "CTE transitive closure",
+    "(one join+agg per round, O(diameter) rounds). Edges come from the "
+    "MinHash+LSH candidate path over token-level (n=1) shingles with "
+    "exact-Jaccard verification — O(candidates), never O(n²); at j>=0.9 "
+    "the 16-band LSH miss probability is (1-0.9^4)^16 ~= 4e-8, so the "
+    "edge set equals the exact all-pairs one (asserted in tests). Oracle "
+    "is a recursive-CTE transitive closure of the exact pair graph",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    pairs = dedup_jaccard_exact(spark, sf_dir).select("doc_a", "doc_b")
+    # n=1 shingles == distinct token hashes, so the verified Jaccard here
+    # is exactly the oracle's token-set Jaccard — the LSH stage only
+    # prunes candidates, it does not change the measure
+    pairs = minhash_near_dup_pairs(d, threshold=0.9, n=1).select("doc_a", "doc_b")
     return connected_components(d.select("doc_id"), pairs)
 
 

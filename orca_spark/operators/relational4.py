@@ -92,6 +92,67 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution_scalable",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4)       OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist()    OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    description="EXACT distribution stats (ntile/percent_rank/cume_dist) "
+    "without the single-reducer global window: range-repartition on the "
+    "sort key, rank locally per partition in parallel, then add broadcast "
+    "cumulative partition offsets — the classic two-phase distributed "
+    "ranking. Identical results to window_distribution at any scale",
+)
+def window_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # materialize the partitioning: range-exchange boundary sampling is
+    # seeded per-job, so without this the counts job and the final query
+    # could land rows in different partitions and corrupt the offsets
+    ranged = (
+        o.repartitionByRange(n_parts, "o_totalprice", "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # per-partition counts are tiny (one row per partition) — collect them,
+    # turn into cumulative offsets, and ship back as a literal map
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_pid")
+    )
+    # the ordering (o_totalprice, o_orderkey) is unique, so
+    # rank == row_number, percent_rank == (rank-1)/(n-1), cume_dist == rank/n
+    lw = W.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = ranged.withColumn(
+        "_grank", off_expr + F.row_number().over(lw)
+    )
+    # ntile(4) over n rows: the first n%4 tiles take ceil(n/4) rows each
+    q, r = divmod(total, 4)
+    big = r * (q + 1)
+    quartile = F.when(
+        F.col("_grank") <= big, ((F.col("_grank") - 1) / (q + 1)).cast("int") + 1
+    ).otherwise(((F.col("_grank") - 1 - big) / F.greatest(F.lit(q), F.lit(1))).cast("int") + r + 1)
+    return ranked.select(
+        "o_orderkey",
+        quartile.alias("quartile"),
+        F.round((F.col("_grank") - 1) / F.lit(max(total - 1, 1)), 6).alias("pct_rank"),
+        F.round(F.col("_grank") / F.lit(total), 6).alias("cume"),
+    )
+
+
+@register(
     "events_rolling_7day",
     oracle="""
         WITH daily AS (

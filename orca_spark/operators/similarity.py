@@ -128,9 +128,11 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_a, vec_b, round(raw, 4) AS cosine
         FROM scored WHERE raw >= 0.4
     """,
-    description="embedding-cosine near-dup pairs (threshold 0.4): the "
-    "semantic-dedup primitive; at 100 TB run it through the LSH buckets "
-    "(same scoring restricted to candidates) instead of all-pairs",
+    description="embedding-cosine near-dup pairs (threshold 0.4), EXACT "
+    "all-pairs form: the oracle-checkable verification baseline for "
+    "embedding_near_dup_pairs_ivf (similarity2.py), which prunes via "
+    "k-means cluster buckets and is the form to run at 100 TB — same "
+    "split as dedup_jaccard_exact vs dedup_minhash",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
@@ -212,7 +214,10 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="semantic dedup cross-checked with lexical: embedding-"
     "cosine candidate pairs annotated with their token-set Jaccard "
     "(doc_id aligns with vec_id in this corpus) — the agreement view a "
-    "dedup pipeline uses to tune thresholds",
+    "dedup pipeline uses to tune thresholds. Exact oracle-checked form; "
+    "at 100 TB source the cosine stage from embedding_near_dup_pairs_ivf "
+    "and the Jaccard stage from the MinHash candidate path (both exist), "
+    "or run this view on a stratified sample",
 )
 def semantic_vs_lexical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(

@@ -70,6 +70,77 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
 
 
+def test_minhash_includes_short_documents(spark):
+    """Docs shorter than the shingle width fall back to token-set
+    signatures instead of silently dropping out of candidacy."""
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "totally different pair here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dup_pairs(d, threshold=0.9).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_simhash_pairs_exact_vs_bruteforce(planted):
+    """The chunk-bucketed pair query must equal brute-force hamming<=3
+    over the signatures (pigeonhole guarantees exactness for k<=3)."""
+    from orca_spark.operators.dedup2 import simhash_pairs
+
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(planted).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b): hamming(sigs[a], sigs[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hamming(sigs[a], sigs[b]) <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(simhash_signatures(planted)).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0  # identical docs pair at distance 0
+
+
+def test_cc_minhash_edges_equal_exact_edges(spark):
+    """The registered clustering (MinHash+LSH edge source, n=1 shingles)
+    must produce the same clusters as exact all-pairs edges on the real
+    corpus — the LSH stage only prunes, recall is 1 at j>=0.9."""
+    from tests.conftest import SF_DIR
+    from orca_spark.operators.dedup import (
+        connected_components,
+        dedup_connected_components,
+        dedup_jaccard_exact,
+    )
+    from orca_spark.tables import load
+
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_connected_components(spark, SF_DIR).collect()
+    }
+    d = load(spark, SF_DIR, "documents")
+    exact_edges = dedup_jaccard_exact(spark, SF_DIR).select("doc_a", "doc_b")
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(d.select("doc_id"), exact_edges).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from orca_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iter=2)
+
+
 def test_multimodal_decode_plumbing(spark):
     """Arrow-batched decode stub: schema + deterministic fake features."""
     from orca_spark.operators.multimodal import attach_payload, decode_images

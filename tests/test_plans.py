@@ -82,6 +82,26 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "hashpartitioning(l_orderkey" not in p
 
 
+def test_bucketed_pair_generators_have_no_cartesian(spark):
+    """The scale-path candidate generators must pair within buckets via
+    equi-joins only — a cartesian-class join here is the exact failure
+    mode they exist to avoid."""
+    for name in ["embedding_near_dup_pairs_ivf", "dedup_simhash_pairs"]:
+        p = plan_str(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_window_distribution_scalable_no_single_partition(spark):
+    """The two-phase global ranking must never funnel the table through
+    one partition — that is the single-reducer pattern the exact
+    window_distribution is documented to have and this one replaces."""
+    p = plan_str(spark, "window_distribution_scalable")
+    assert "SinglePartition" not in p
+    # the exact form really does single-reduce (the contrast this guards)
+    assert "SinglePartition" in plan_str(spark, "window_distribution")
+
+
 def test_whole_stage_codegen_everywhere_hot(spark):
     """Scalar/text pipelines must stay inside whole-stage codegen (no
     Python row loop in the hot path)."""

@@ -54,6 +54,68 @@ def test_ivf_topk_finds_planted_duplicate(emb):
         assert math.isclose(brute[r.neighbor_id], r.cosine, abs_tol=1e-9)
 
 
+def test_ivf_near_dup_recall_and_precision(spark):
+    """The cluster-bucketed near-dup path must be a strict subset of the
+    exact pair set (verification is exact cosine — no false positives)
+    with recall >= 0.9 on the real corpus at nprobe=3."""
+    from tests.conftest import SF_DIR
+    from orca_spark.queries import queries
+
+    q = queries()
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q["embedding_near_dup_pairs"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q["embedding_near_dup_pairs_ivf"](spark, SF_DIR).collect()
+    }
+    assert set(ivf) <= set(exact)
+    for pair, c in ivf.items():  # same measure, clusters only prune
+        assert math.isclose(exact[pair], c, abs_tol=1e-9)
+    assert len(ivf) / len(exact) >= 0.9
+
+
+def test_pq_topk_matches_ivf_when_shortlist_covers(emb):
+    """With the ADC shortlist >= the probe-set size, PQ must return
+    exactly the IVF ranking (reconstruction error can only reorder the
+    shortlist CUT, never the exact re-rank) — and find the planted dup."""
+    from orca_spark.operators.similarity import ivf_topk_df
+    from orca_spark.operators.similarity2 import pq_topk_df
+
+    q = emb.where(F.col("vec_id") == 0)
+    pq = pq_topk_df(emb, q, k=3, nprobe=2, shortlist=1000).orderBy("rank").collect()
+    ivf = ivf_topk_df(emb, q, k=3, nprobe=2).orderBy("rank").collect()
+    assert [(r.neighbor_id, r.cosine) for r in pq] == [
+        (r.neighbor_id, r.cosine) for r in ivf
+    ]
+    assert pq[0].neighbor_id == 50 and pq[0].cosine == 1.0
+
+
+def test_pq_topk_recall_floor_on_corpus(spark):
+    """PQ with the registered shortlist must not lose recall vs plain IVF
+    on the real corpus (ADC pre-ranking is a cost optimization, not a
+    quality trade at this shortlist size)."""
+    from tests.conftest import SF_DIR
+    from orca_spark.queries import queries
+
+    q = queries()
+    def topk_sets(name):
+        out = {}
+        for r in q[name](spark, SF_DIR).collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    brute, ivf, pq = (
+        topk_sets("similarity_brute_topk"),
+        topk_sets("similarity_ivf_topk"),
+        topk_sets("similarity_pq_topk"),
+    )
+    rec_ivf = sum(len(brute[k] & ivf.get(k, set())) / len(brute[k]) for k in brute) / len(brute)
+    rec_pq = sum(len(brute[k] & pq.get(k, set())) / len(brute[k]) for k in brute) / len(brute)
+    assert rec_pq >= rec_ivf - 0.05
+
+
 def test_lsh_topk_exact_within_bucket(emb):
     """The LSH path must return exactly the brute-force ranking restricted
     to the query's bucket — approximation comes only from bucketing."""
