@@ -35,6 +35,13 @@ HEADLINE = [
     "orc_roundtrip_agg",
     "asof_join_latest_order",
     "orc_partitioned_pruned",
+    # round-2 additions: the former scale-weak queries (post-fix) and the
+    # new scale paths, so their shape is tracked as data grows
+    "dedup_connected_components",
+    "dedup_simhash_pairs",
+    "embedding_near_dup_pairs_ivf",
+    "similarity_pq_topk",
+    "window_distribution_scalable",
 ]
 
 
@@ -53,8 +60,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = allq[name](spark, sf_dir)
+        # t0 before plan construction: queries with eager side effects
+        # (ORC writes, checkpoints, codebook training) must pay for them
+        # inside their measurement, not before it
         t0 = time.perf_counter()
+        df = allq[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

@@ -40,6 +40,8 @@ def write_orc(
     compression: str | None = None,
     partition_by: list[str] | None = None,
     orc_options: dict | None = None,
+    memory_pool: float | None = None,
+    enforce_buffer_size: bool | None = None,
 ) -> None:
     """Write a DataFrame as ORC with the reference's writer knobs.
 
@@ -48,13 +50,24 @@ def write_orc(
     partition pruning on later reads (essential at 100 TB).
 
     ``orc_options`` passes any further ``orc.*`` table properties through
-    (e.g. ``orc.compress.size``, ``orc.bloom.filter.columns``). The
-    reference's remaining knobs map to session-level hadoop confs:
-    ``:orc-memory-pool`` → ``spark.hadoop.hive.exec.orc.memory.pool``,
-    ``:enforce-buffer-size?`` → ``orc.buffer.size.enforce``
-    (core.clj:624-635).
+    (e.g. ``orc.compress.size``, ``orc.bloom.filter.columns``).
+    ``memory_pool`` (fraction of heap the ORC writers may buffer,
+    ``:orc-memory-pool``) and ``enforce_buffer_size``
+    (``:enforce-buffer-size?``) mirror core.clj:624-635: the former is a
+    JVM-wide hadoop conf (applied to the session, since the ORC memory
+    manager is per-JVM), the latter a per-write option.
     """
+    if memory_pool is not None:
+        # must go to the live hadoop conf: spark.hadoop.* session confs
+        # are only read at context startup
+        df.sparkSession.sparkContext._jsc.hadoopConfiguration().set(
+            "hive.exec.orc.memory.pool", str(memory_pool)
+        )
     writer = df.write.mode("overwrite" if overwrite else "errorifexists")
+    if enforce_buffer_size is not None:
+        writer = writer.option(
+            "orc.buffer.size.enforce", "true" if enforce_buffer_size else "false"
+        )
     for k, v in (orc_options or {}).items():
         writer = writer.option(k, str(v))
     if stripe_size is not None:

@@ -46,6 +46,20 @@ def asof_join(
     overlap = set(left.columns) & set(value_cols)
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+    # the union/window plumbing claims _k/_ts/_side plus _r_*/_c_* tags;
+    # input columns with those names would silently corrupt the carry
+    reserved = {"_k", "_ts", "_side"}
+    for df, side in ((left, "left"), (right, "right")):
+        clash = sorted(
+            c
+            for c in df.columns
+            if c in reserved or c.startswith("_r_") or c.startswith("_c_")
+        )
+        if clash:
+            raise ValueError(
+                f"{side} columns collide with asof_join internals: {clash}; "
+                "rename them before joining"
+            )
     lcols = [c for c in left.columns]
     tagged_left = left.select(
         F.col(on).alias("_k"),

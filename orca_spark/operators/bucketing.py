@@ -36,25 +36,37 @@ def write_bucketed(df: DataFrame, table: str, key: str, path: str) -> None:
 def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame] | None:
     """orders + lineitem as bucketed tables (created once per sf_dir);
     None if the session's catalog can't persist tables."""
+    import hashlib
+
     from orca_spark.operators.io_ops import scratch_path
 
-    tag = scratch_path("bucketed", sf_dir).replace("/", "_").replace(".", "_").replace("-", "_")
-    t_orders, t_li = f"orca_orders{tag[-12:]}", f"orca_lineitem{tag[-12:]}"
+    # hash the FULL sf_dir: suffix-colliding paths must never share a
+    # catalog table, or one sf would silently serve another's data
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    t_orders, t_li = f"orca_orders_{tag}", f"orca_lineitem_{tag}"
+
+    def _fresh(table: str, path: str) -> bool:
+        """Reuse only a table that still points at the expected location."""
+        if not spark.catalog.tableExists(table):
+            return False
+        loc = (
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .where(F.col("col_name") == "Location")
+            .select("data_type")
+            .collect()
+        )
+        if not loc or not loc[0][0].rstrip("/").endswith(path.rstrip("/").lstrip("/")):
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            return False
+        return True
+
     try:
-        if not spark.catalog.tableExists(t_orders):
-            write_bucketed(
-                load(spark, sf_dir, "orders"),
-                t_orders,
-                "o_orderkey",
-                scratch_path("bucketed_orders", sf_dir),
-            )
-        if not spark.catalog.tableExists(t_li):
-            write_bucketed(
-                load(spark, sf_dir, "lineitem"),
-                t_li,
-                "l_orderkey",
-                scratch_path("bucketed_lineitem", sf_dir),
-            )
+        p_orders = scratch_path("bucketed_orders", sf_dir)
+        p_li = scratch_path("bucketed_lineitem", sf_dir)
+        if not _fresh(t_orders, p_orders):
+            write_bucketed(load(spark, sf_dir, "orders"), t_orders, "o_orderkey", p_orders)
+        if not _fresh(t_li, p_li):
+            write_bucketed(load(spark, sf_dir, "lineitem"), t_li, "l_orderkey", p_li)
         return spark.table(t_orders), spark.table(t_li)
     except Exception:
         return None

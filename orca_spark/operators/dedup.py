@@ -136,28 +136,33 @@ def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
-    x = F.pmod(F.col("sh"), F.lit(_MERSENNE))
+    # K aggregate expressions assembled as SQL strings: one F.expr per
+    # permutation instead of ~8 py4j round trips per Column node (the
+    # Column form cost ~0.7 s of driver time per plan construction)
     mins = [
-        F.min(F.pmod(F.lit(_A[i]) * x + F.lit(_B[i]), F.lit(_MERSENNE))).alias(f"m{i}")
+        F.expr(
+            f"min(pmod({_A[i]}L * pmod(sh, {_MERSENNE}L) + {_B[i]}L, {_MERSENNE}L))"
+        ).alias(f"m{i}")
         for i in range(_K)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(_K)]).alias("sig"))
+    arr = "array(" + ", ".join(f"m{i}" for i in range(_K)) + ")"
+    return sig.select("doc_id", F.expr(arr).alias("sig"))
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket."""
     r = _K // _BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias("bucket"),
-            )
-            for b in range(_BANDS)
-        ]
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(f"cast(sig[{b * r + j}] as string)" for j in range(r)),
+        )
+        for b in range(_BANDS)
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+    banded = sig.select(
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
+    ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     left = banded.alias("l")
@@ -271,52 +276,59 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Cluster ids via iterative min-label propagation.
+    """Cluster ids via min-label propagation with pointer jumping.
 
     ``nodes``: (doc_id); ``edges``: (doc_a, doc_b) undirected. Each
-    round joins current labels across edges and keeps the minimum —
-    labels converge to the component's minimum id in O(diameter)
-    rounds (with an early-exit convergence check). Every round is one
-    join + one aggregate; this is the dedup-clustering step that picks
-    one canonical document per near-duplicate group.
+    round propagates the minimum label across edges (self-loops folded
+    in, so the step is ONE groupBy — no separate left-join to keep a
+    node's own label) and then POINTER-JUMPS
+    (``label ← label(label)``), which contracts paths exponentially:
+    convergence in O(log diameter) rounds instead of O(diameter) —
+    the difference between ~5 and ~50 shuffles on a long chain.
+
+    Convergence detection is O(1) per round: every label update is a
+    strict decrease (min-propagation never raises a label), so the
+    global ``sum(label)`` is a fixpoint witness — unchanged sum means
+    unchanged labels, with no old-vs-new join.
     """
     # localCheckpoint (not persist): truncates the lineage each round so
-    # the k-th iteration plans a 2-join query, not a 2k-join one — without
-    # it, driver-side re-planning dominates past ~10 rounds.
+    # the k-th iteration plans a constant-size query, not a k-join one —
+    # without it, driver-side re-planning dominates past ~10 rounds.
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .union(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
-    changed = 0
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
+        # min over neighbors ∪ self (self-loop edges make the groupBy total)
+        stepped = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
+            .agg(F.min("label").alias("label"))
         )
-        stepped = (
-            labels.withColumnRenamed("label", "old_label")
-            .join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                "old_label",
-                F.least(F.col("old_label"), F.coalesce("nmin", F.col("old_label"))).alias("label"),
-            )
+        # pointer jump: follow my label's label (labels are doc_ids, so
+        # they resolve against the same frame); contracts chains in half
+        hop = stepped.select(F.col("doc_id").alias("label"), F.col("label").alias("hop"))
+        labels = (
+            stepped.join(hop, "label")
+            .select("doc_id", F.least("label", "hop").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = stepped.where(F.col("label") != F.col("old_label")).count()
-        labels = stepped.select("doc_id", "label")
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            prev_sum = None  # converged
             break
-    if changed != 0:
+        prev_sum = cur_sum
+    if prev_sum is not None:
         # silently-wrong labels are worse than a loud failure: a component
-        # with diameter > max_iter has not converged
+        # this deep has not converged in max_iter rounds
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter"
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter"
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
@@ -348,39 +360,192 @@ def connected_components(
         FROM reach GROUP BY src
     """,
     description="near-dup clustering: connected components over the "
-    ">=0.9 token-Jaccard pair graph via iterative min-label propagation "
-    "(one join+agg per round, O(diameter) rounds). Edges come from the "
-    "MinHash+LSH candidate path over token-level (n=1) shingles with "
-    "exact-Jaccard verification — O(candidates), never O(n²); at j>=0.9 "
-    "the 16-band LSH miss probability is (1-0.9^4)^16 ~= 4e-8, so the "
-    "edge set equals the exact all-pairs one (asserted in tests). Oracle "
-    "is a recursive-CTE transitive closure of the exact pair graph",
+    ">=0.9 token-Jaccard pair graph via min-label propagation with "
+    "pointer jumping (O(log diameter) rounds). Exact-duplicate "
+    "contraction first, then ADAPTIVE candidate generation over the "
+    "distinct-set representatives: a corpus whose vocabulary fits 64 "
+    "bits is dictionary-encoded to a long bitmask (j>=0.9 implies "
+    "hamming <= (1-t)|vocab| bits, pigeonhole-bucketed on diff+1 "
+    "chunks, bit_count verification — exact recall, 8-byte keys); open "
+    "vocabularies fall back to MinHash+LSH candidates with exact "
+    "array_intersect verification. Oracle is a recursive-CTE transitive "
+    "closure of the exact pair graph",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # n=1 shingles == distinct token hashes, so the verified Jaccard here
-    # is exactly the oracle's token-set Jaccard — the LSH stage only
-    # prunes candidates, it does not change the measure
-    pairs = minhash_near_dup_pairs(d, threshold=0.9, n=1).select("doc_a", "doc_b")
-    return connected_components(d.select("doc_id"), pairs)
+    # Stage 0 — exact-duplicate contraction: docs with the SAME distinct
+    # token set always share a cluster (jaccard 1), so collapse each
+    # identity group to its min-doc_id representative before the
+    # quadratic-ish near-dup stage. On corpora with heavy duplication
+    # this shrinks the pair problem by the square of the duplication
+    # factor, and at 100 TB it is the standard first move of any dedup
+    # pipeline.
+    sets = d.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(F.transform(F.split("text", " "), lambda t: F.xxhash64(t)))
+        ).alias("ts"),
+    ).withColumn("set_key", F.xxhash64("ts"))
+    reps = (
+        sets.groupBy("set_key")
+        .agg(F.min("doc_id").alias("doc_id"), F.min_by("ts", "doc_id").alias("ts"))
+        .localCheckpoint(eager=True)  # reused 3x: candidates, CC nodes, fan-out
+    )
+    rep_pairs = _rep_pairs_adaptive(reps, threshold=0.9)
+    # Stage 2 — cluster the representatives, then fan the labels back out
+    # to every member of each identity group. The component minimum over
+    # reps equals the minimum over all docs (each rep IS its group's min).
+    rep_clusters = connected_components(reps.select("doc_id"), rep_pairs)
+    return (
+        sets.select("doc_id", "set_key")
+        .join(
+            reps.select("set_key", F.col("doc_id").alias("_rep")),
+            "set_key",
+        )
+        .join(
+            rep_clusters.withColumnRenamed("doc_id", "_rep"),
+            "_rep",
+        )
+        .select("doc_id", "cluster_id")
+    )
+
+
+def _to_i64(v: int) -> int:
+    """Reinterpret an unsigned 64-bit Python int as Spark's signed long."""
+    v &= 0xFFFFFFFFFFFFFFFF
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _rep_pairs_adaptive(reps: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b) pairs with EXACT token-set Jaccard >= threshold,
+    over distinct-set representatives (doc_id, ts sorted hash array).
+
+    Strategy is chosen from a collected corpus statistic, the way an
+    optimizer picks a join from table stats:
+
+    * vocabulary <= 64 distinct tokens → dictionary-encode each set to
+      one 64-bit mask. Jaccard >= t implies the masks differ in at most
+      floor((1-t)·|union|) <= floor((1-t)·vocab) bits, so bucketing
+      each mask on ``diff+1`` bit-chunks (pigeonhole: some chunk must
+      match exactly) has RECALL 1, and verification is two
+      ``bit_count`` instructions on longs — no arrays ever shuffle.
+    * open vocabulary → MinHash(64)+LSH(16 bands) candidates over the
+      hash sets (miss probability (1-t^4)^16, ~4e-8 at t=0.9), verified
+      with exact ``array_intersect`` Jaccard.
+
+    Both branches produce the same exact-verified pair set (up to the
+    negligible LSH miss); the bitmask branch exists because tiny closed
+    vocabularies DEFEAT signature schemes — every doc collides with
+    every other — while fitting perfectly in a single machine word.
+    """
+    tok = (
+        reps.select(F.explode("ts").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy("df", "h")
+        .limit(65)
+        .collect()
+    )
+    if len(tok) <= 64:
+        # round-robin bit assignment in df-ascending order spreads common
+        # tokens across chunks, keeping chunk-value entropy high
+        max_diff = int((1.0 - threshold) * len(tok))  # |union| <= vocab
+        n_chunks = max_diff + 1
+        bit_of = {row.h: i for i, row in enumerate(tok)}
+        mask_map = F.create_map(
+            *[
+                x
+                for h, i in bit_of.items()
+                for x in (F.lit(h), F.lit(_to_i64(1 << i)))
+            ]
+        )
+        chunk_masks = [
+            _to_i64(
+                sum(1 << i for i in range(len(tok)) if i % n_chunks == c)
+            )
+            for c in range(n_chunks)
+        ]
+        masked = reps.select(
+            "doc_id",
+            F.aggregate(
+                F.transform("ts", lambda h: F.element_at(mask_map, h)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc.bitwiseOR(x),
+            ).alias("mask"),
+        )
+        keyed = masked.select(
+            "doc_id",
+            "mask",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            F.col("mask").bitwiseAND(F.lit(cm)).alias("k"),
+                        )
+                        for c, cm in enumerate(chunk_masks)
+                    ]
+                )
+            ).alias("ck"),
+        ).select("doc_id", "mask", "ck.c", "ck.k")
+        cand = (
+            keyed.alias("a")
+            .join(
+                keyed.alias("b"),
+                (F.col("a.c") == F.col("b.c"))
+                & (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.mask").alias("ma"),
+                F.col("b.mask").alias("mb"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))).cast("double")
+        uni = F.bit_count(F.col("ma").bitwiseOR(F.col("mb"))).cast("double")
+        return cand.where(inter / uni >= threshold).select("doc_a", "doc_b")
+    # open-vocabulary fallback: MinHash+LSH candidates (n=1 shingles ==
+    # the token-hash sets), exact array_intersect verification — the
+    # generic O(candidates) path
+    sh = reps.select("doc_id", F.explode("ts").alias("sh"))
+    cand = lsh_candidate_pairs(_signatures_from_shingles(sh))
+    la = reps.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    lb = reps.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+    jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
+    return (
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
 
 
 def simhash_signatures(d: DataFrame) -> DataFrame:
-    """64-bit SimHash per (doc_id, text) row via per-bit majority vote."""
+    """64-bit SimHash per (doc_id, text) row via per-bit majority vote.
+
+    Expressions assembled as SQL strings (one F.expr per vote aggregate)
+    — see _signatures_from_shingles for the py4j rationale."""
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = F.xxhash64("w")
     # per-bit vote: +1 when bit set, -1 otherwise; sign of the sum is the bit
     votes = [
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+        F.expr(
+            f"sum(case when (shiftright(xxhash64(w), {j}) & 1L) = 1L"
+            " then 1 else -1 end)"
+        ).alias(f"v{j}")
         for j in range(64)
     ]
     sigbits = tok.groupBy("doc_id").agg(*votes)
-    sim = None
-    for j in range(64):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
-    return sigbits.select("doc_id", sim.alias("simhash"))
+    # disjoint bits: + == OR
+    sim = " + ".join(
+        f"(case when v{j} > 0 then {1 << j}L else 0L end)" for j in range(63)
+    )
+    # bit 63: 1<<63 overflows a signed long literal — shift instead
+    sim += " + (case when v63 > 0 then shiftleft(1L, 63) else 0L end)"
+    return sigbits.select("doc_id", F.expr(f"({sim})").alias("simhash"))
 
 
 @register(

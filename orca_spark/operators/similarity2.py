@@ -34,6 +34,7 @@ from orca_spark.operators.similarity import (
     _N_QUERIES,
     _TOP_K,
     _as_double,
+    _with_norm,
     cosine,
     dot,
     ivf_assign,
@@ -50,7 +51,10 @@ _ADC_SHORTLIST = 10 * _TOP_K
 
 
 def ivf_near_dup_pairs(
-    emb: DataFrame, threshold: float = _NEAR_DUP_THRESHOLD, nprobe: int = 3
+    emb: DataFrame,
+    threshold: float = _NEAR_DUP_THRESHOLD,
+    nprobe: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs within k-means coarse clusters only.
 
@@ -59,28 +63,46 @@ def ivf_near_dup_pairs(
     cosine verification runs on candidates only — the measure is
     identical to the all-pairs query, the clusters only prune.
     """
-    cents = kmeans_centroids(emb)
-    assigned = ivf_assign(emb, cents, nprobe=nprobe).select(
-        "vec_id", "e", F.explode("clusters").alias("cluster")
+    cents = kmeans_centroids(emb, cache_key=cache_key)
+    # materialize the assignment table (the index-build step a real
+    # pipeline persists once): the self-join below would otherwise
+    # evaluate the ~10-centroid argmin expression on both sides
+    assigned = (
+        _with_norm(ivf_assign(emb, cents, nprobe=nprobe), "n")
+        .select("vec_id", "e", "n", "clusters")
+        .localCheckpoint(eager=True)
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cand = (
+    keyed = assigned.select(
+        "vec_id", "e", "n", "clusters", F.explode("clusters").alias("c")
+    )
+    # spread the probe side over the executors BEFORE the bucket join:
+    # its cost is the (join output × scoring) expansion, and without an
+    # explicit uniform repartition it inherits the source's few input
+    # splits, serializing the whole expansion onto a couple of tasks
+    spread = keyed.repartition(
+        max(assigned.sparkSession.sparkContext.defaultParallelism * 2, 16), "vec_id"
+    )
+    a, b = spread.alias("a"), keyed.alias("b")
+    # exactly-once emission WITHOUT a dedup shuffle: a pair sharing
+    # several probed clusters is scored only in the SMALLEST shared one.
+    # Everything after the bucket join is pipelined (filter + score) —
+    # candidate rows never hit a second shuffle, which at this fan-in
+    # (nprobe² / k of all pairs) is the dominant cost
+    once = F.col("a.c") == F.array_min(
+        F.array_intersect(F.col("a.clusters"), F.col("b.clusters"))
+    )
+    raw = dot("a.e", "b.e") / (F.col("a.n") * F.col("b.n"))
+    return (
         a.join(
             b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .where(once)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.e").alias("ea"),
-            F.col("b.e").alias("eb"),
+            raw.alias("raw"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    raw = cosine(F.col("ea"), F.col("eb"))
-    return (
-        cand.select("vec_a", "vec_b", raw.alias("raw"))
         .where(F.col("raw") >= threshold)
         .select("vec_a", "vec_b", F.round("raw", 4).alias("cosine"))
     )
@@ -101,12 +123,15 @@ def embedding_near_dup_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("e"), "label"
     )
-    return ivf_near_dup_pairs(emb.select("vec_id", "e", "label"))
+    return ivf_near_dup_pairs(emb.select("vec_id", "e", "label"), cache_key=sf_dir)
 
 
 # ---------------------------------------------------------------------------
 # IVF + product quantization
 # ---------------------------------------------------------------------------
+
+_PQ_CACHE: dict[str, list[list[list[float]]]] = {}
+
 
 def train_pq(
     emb: DataFrame,
@@ -114,6 +139,7 @@ def train_pq(
     m: int = _PQ_M,
     ncodes: int = _PQ_CODES,
     sample: int = _PQ_TRAIN_SAMPLE,
+    cache_key: str | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks on coarse-quantizer residuals.
 
@@ -121,9 +147,12 @@ def train_pq(
     (first ``sample`` vec_ids) — (2048 x 8) floats per subspace, trivial
     on the driver; encoding of the full corpus stays distributed.
     Returns ``codebooks[m][code] -> sub-vector`` (length dim/m each).
+    ``cache_key`` memoizes per corpus, like ``kmeans_centroids``.
     """
     import numpy as np
 
+    if cache_key is not None and cache_key in _PQ_CACHE:
+        return _PQ_CACHE[cache_key]
     rows = (
         emb.orderBy("vec_id").limit(sample).select("vec_id", "e").collect()
     )
@@ -148,16 +177,19 @@ def train_pq(
                 if mask.any():
                     cb[c] = sub[mask].mean(axis=0)
         books.append([[float(v) for v in row] for row in cb])
+    if cache_key is not None:
+        _PQ_CACHE[cache_key] = books
     return books
 
 
-def _centroid_map(centroids: list[tuple[int, list[float]]]) -> Column:
-    """cluster_id -> centroid vector as a literal map expression."""
-    pairs: list[Column] = []
-    for cid, vec in centroids:
-        pairs.append(F.lit(cid))
-        pairs.append(F.array(*[F.lit(v) for v in vec]))
-    return F.create_map(*pairs)
+def _sql_subdot(col: str, s: int, width: int, cw: list[float]) -> str:
+    """SQL text for ``col[s*width : (s+1)*width] · cw`` with direct
+    element indexing (no slice materialization)."""
+    return (
+        "("
+        + " + ".join(f"{col}[{s * width + j}]*{v!r}D" for j, v in enumerate(cw))
+        + ")"
+    )
 
 
 def pq_encode(
@@ -166,47 +198,32 @@ def pq_encode(
     books: list[list[list[float]]],
 ) -> DataFrame:
     """Attach ``codes array<tinyint>``: per-subspace argmin codeword of
-    the coarse residual. Pure codegen'd array math, shuffle-free."""
+    the coarse residual, WITHOUT materializing the residual —
+    ‖(e−c)_m − cw‖² argmin-reduces to ‖cw‖² − 2·e_m·cw + 2·c_m·cw, where
+    c_m·cw is a per-(cluster, codeword) scalar folded into a tiny literal
+    map. Pure codegen'd math, shuffle-free; the whole expression is
+    assembled as ONE SQL string (see ``_sql_dot_lit``'s rationale —
+    Column-object assembly spent ~6 s per call in py4j round-trips)."""
     width = len(books[0][0])
-    resid = F.zip_with(
-        F.col("e"), F.element_at(_centroid_map(centroids), F.col("cluster")),
-        lambda a, b: a - b,
-    )
     codes = []
     for s, book in enumerate(books):
-        sub = F.slice(resid, s * width + 1, width)
-        cands = F.array(
-            *[
-                F.struct(
-                    dot(
-                        F.zip_with(sub, F.array(*[F.lit(v) for v in cw]), lambda a, b: a - b),
-                        F.zip_with(sub, F.array(*[F.lit(v) for v in cw]), lambda a, b: a - b),
-                    ).alias("d"),
-                    F.lit(c).alias("code"),
-                )
-                for c, cw in enumerate(book)
-            ]
+        cands = []
+        for c, cw in enumerate(book):
+            # c_m·cw per cluster: {cluster_id -> scalar} literal map
+            pairs = ", ".join(
+                f"{cid}, "
+                f"{sum(a * b for a, b in zip(cvec[s * width:(s + 1) * width], cw))!r}D"
+                for cid, cvec in centroids
+            )
+            d = (
+                f"({sum(v * v for v in cw)!r}D - 2.0D*{_sql_subdot('e', s, width, cw)}"
+                f" + 2.0D*element_at(map({pairs}), cluster))"
+            )
+            cands.append(f"named_struct('d', {d}, 'code', {c})")
+        codes.append(
+            f"cast(element_at(array_sort(array({', '.join(cands)})), 1).code as tinyint)"
         )
-        codes.append(F.element_at(F.array_sort(cands), 1)["code"].cast("tinyint"))
-    return assigned.withColumn("codes", F.array(*codes))
-
-
-def pq_reconstruct(
-    centroids: list[tuple[int, list[float]]], books: list[list[list[float]]]
-) -> Column:
-    """cluster + codes -> approximate database vector (centroid + per-
-    subspace codeword), as one concat of literal-array lookups."""
-    parts = [
-        F.element_at(
-            F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in book]),
-            F.col("codes")[s].cast("int") + 1,
-        )
-        for s, book in enumerate(books)
-    ]
-    resid = F.concat(*parts)
-    return F.zip_with(
-        F.element_at(_centroid_map(centroids), F.col("cluster")), resid, lambda a, b: a + b
-    )
+    return assigned.withColumn("codes", F.expr(f"array({', '.join(codes)})"))
 
 
 def pq_topk_df(
@@ -215,18 +232,37 @@ def pq_topk_df(
     k: int = _TOP_K,
     nprobe: int = 2,
     shortlist: int = _ADC_SHORTLIST,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF+PQ ANN: probe ``nprobe`` coarse clusters, ADC-score candidates
-    against reconstructed vectors (8-byte codes), exact-rerank only the
-    per-query ADC top-``shortlist``."""
-    cents = kmeans_centroids(emb)
-    books = train_pq(emb, cents)
+    from their 8-byte codes, exact-rerank only the per-query ADC
+    top-``shortlist``.
+
+    ADC is fully algebraic — q·x̂ = q·c + Σ_m q_m·cw[code_m] and
+    ‖x̂‖² = ‖c‖² + Σ_m (2·c_m·cw[code_m] + ‖cw[code_m]‖²) — so scoring is
+    per-subspace literal lookups plus one q·c dot against the (broadcast)
+    centroid columns; no vector is ever reconstructed. Ranking within a
+    query divides by ‖x̂‖ only (‖q‖ is constant per query)."""
+    cents = kmeans_centroids(emb, cache_key=cache_key)
+    books = train_pq(emb, cents, cache_key=cache_key)
+    width = len(books[0][0])
+    # materialize the index (a real deployment writes it to storage once):
+    # this is ALSO what keeps the plan sane — downstream ADC references
+    # codes[s] ~24 times, and without a barrier Catalyst's projection
+    # collapse would inline the full encode expression into every one
     corpus = pq_encode(
         ivf_assign(emb, cents, nprobe=1).select(
             "vec_id", "e", F.element_at("clusters", 1).alias("cluster")
         ),
         cents,
         books,
+    ).localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    cents_df = F.broadcast(
+        spark.createDataFrame(
+            [(cid, vec, float(sum(v * v for v in vec))) for cid, vec in cents],
+            "cluster int, cvec array<double>, c2 double",
+        )
     )
     q = F.broadcast(
         ivf_assign(queries, cents, nprobe=nprobe).select(
@@ -235,9 +271,41 @@ def pq_topk_df(
             F.explode("clusters").alias("cluster"),
         )
     )
-    adc = cosine(F.col("qe"), pq_reconstruct(cents, books))
+    # Σ_m q_m·cw[code_m]  and  Σ_m (2·c_m·cw + ‖cw‖²) from the codes —
+    # assembled as one SQL string (see _sql_dot_lit's rationale)
+    q_resid = " + ".join(
+        "element_at(array("
+        + ", ".join(_sql_subdot("qe", s, width, cw) for cw in book)
+        + f"), cast(codes[{s}] as int) + 1)"
+        for s, book in enumerate(books)
+    )
+    x2_terms = []
+    for s, book in enumerate(books):
+        cw2 = (
+            "element_at(array("
+            + ", ".join(f"{sum(v * v for v in cw)!r}D" for cw in book)
+            + f"), cast(codes[{s}] as int) + 1)"
+        )
+        ccw_arr = ", ".join(
+            "element_at(map("
+            + ", ".join(
+                f"{cid}, "
+                f"{sum(a * b for a, b in zip(cvec[s * width:(s + 1) * width], cw))!r}D"
+                for cid, cvec in cents
+            )
+            + "), cluster)"
+            for cw in book
+        )
+        ccw = f"element_at(array({ccw_arr}), cast(codes[{s}] as int) + 1)"
+        x2_terms.append(f"(2.0D*{ccw} + {cw2})")
+    x2 = "c2 + " + " + ".join(x2_terms)
+    qc_dot = (
+        "(" + " + ".join(f"qe[{i}]*cvec[{i}]" for i in range(len(cents[0][1]))) + ")"
+    )
+    adc = F.expr(f"({qc_dot} + {q_resid}) / sqrt({x2})")
     scored = (
         corpus.join(q, ["cluster"])
+        .join(cents_df, ["cluster"])
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", "e", "qe", adc.alias("adc"))
     )
@@ -248,7 +316,7 @@ def pq_topk_df(
     exact = short.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qe"), F.col("e")), 4).alias("cosine"),
+        F.round(cosine("qe", "e"), 4).alias("cosine"),
     )
     we = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -263,12 +331,15 @@ def pq_topk_df(
     oracle=None,  # approximate by construction; recall@5 vs brute force
     # asserted in tests/test_similarity.py
     description="IVF+PQ ANN: 8-byte PQ codes (M=8 x 16 codewords) over "
-    "coarse-quantizer residuals, ADC scoring against reconstructed "
-    "vectors, exact cosine re-rank of the ADC top-20 only — exact "
-    "scoring touches a fixed shortlist per query, not the probe set",
+    "coarse-quantizer residuals, fully algebraic ADC scoring from the "
+    "codes (literal-table lookups; no vector reconstruction), exact "
+    "cosine re-rank of the ADC shortlist only — exact scoring touches "
+    "a fixed shortlist per query, not the probe set",
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("e"), "label"
     )
-    return pq_topk_df(emb, emb.where(F.col("vec_id") < _N_QUERIES), nprobe=2)
+    return pq_topk_df(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), nprobe=2, cache_key=sf_dir
+    )

@@ -35,7 +35,11 @@ from orca_spark.operators import (  # noqa: F401
     relational,
     dedup2,
     similarity2,
+    ranges,
+    text3,
+    profile2,
 )
+from orca_spark.streaming import jobs2  # noqa: F401
 
 
 def queries():

@@ -241,6 +241,10 @@ def merge_types(a, b):
     union. Raises ``ValueError`` on uncombinable pairs (e.g.
     boolean + int), matching the reference's ex-info throw
     (``core.clj:381-382``).
+
+    One documented divergence: the reference also throws on
+    decimal-with-props vs other numerics; this implementation widens
+    instead (see the inline comment at the decimal+numeric branch).
     """
     if a is None:
         return b
@@ -263,11 +267,29 @@ def merge_types(a, b):
     if ra >= 0 and rb >= 0:  # integral/fractional widening
         return _NUMERIC_ORDER[max(ra, rb)]()
 
-    # numeric + decimal → decimal (lattice: …double → decimal)
-    if isinstance(a, T.DecimalType) and rb >= 0:
-        return a
-    if isinstance(b, T.DecimalType) and ra >= 0:
-        return b
+    # numeric + decimal — DOCUMENTED DIVERGENCE from the reference, which
+    # throws on decimal-with-props vs numeric (combine-typedef's coercible
+    # branch, core.clj:378-382). We widen instead:
+    #   * integral + decimal(p,s): view an N-digit integral as
+    #     decimal(N,0) and max-merge precision/scale independently —
+    #     exactly the reference's own decimal⊕decimal rule
+    #     (core.clj:395-396), and the only widening that keeps the fold
+    #     laws (commutative/associative/absorbing) the reduce-based
+    #     rows->typedef relies on. Like that rule, the result may
+    #     under-provision integer digits by up to `s` for extreme values
+    #     (e.g. long ⊕ decimal(3,2) → decimal(19,2), 17 integer digits).
+    #   * float/double + decimal → double (decimal → double is an allowed
+    #     Hive implicit conversion; keeping the decimal would silently
+    #     truncate the fractional range).
+    _INTEGRAL_DIGITS = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10, T.LongType: 19}
+    for dec, num in ((a, b), (b, a)):
+        if isinstance(dec, T.DecimalType) and _rank(num, _NUMERIC_ORDER) >= 0:
+            if isinstance(num, (T.FloatType, T.DoubleType)):
+                return T.DoubleType()
+            digits = _INTEGRAL_DIGITS[type(num)]
+            return T.DecimalType(
+                min(max(dec.precision, digits), MAX_PRECISION), dec.scale
+            )
 
     # anything string-coercible + string → string: numerics, decimal
     # (explicit #{decimal string} → string, core.clj:428-429), date,

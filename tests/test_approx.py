@@ -24,3 +24,35 @@ def test_approx_percentile_close_to_exact(spark):
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_profile_lineitem_approx_accuracy(spark):
+    """The registered sketch profile must track the exact profile within
+    the sketches' advertised error (HLL rsd=0.01 → assert 5%; quantile
+    accuracy=10000 → assert 1% value error on this distribution)."""
+    from orca_spark.operators.profile2 import profile_lineitem_approx
+
+    got = profile_lineitem_approx(spark, SF_DIR).collect()[0]
+    li = load(spark, SF_DIR, "lineitem")
+    exact = li.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("l_orderkey").alias("orderkeys"),
+        F.countDistinct("l_partkey").alias("partkeys"),
+        F.countDistinct("l_suppkey").alias("suppkeys"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("price_p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("price_p95"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("qty_p50"),
+    ).collect()[0]
+    assert got.rows == exact.rows
+    for a, e in [
+        (got.orderkeys_approx, exact.orderkeys),
+        (got.partkeys_approx, exact.partkeys),
+        (got.suppkeys_approx, exact.suppkeys),
+    ]:
+        assert abs(a - e) / e < 0.05, (a, e)
+    for a, e in [
+        (got.price_p50, exact.price_p50),
+        (got.price_p95, exact.price_p95),
+        (got.qty_p50, exact.qty_p50),
+    ]:
+        assert abs(a - e) / e < 0.01, (a, e)

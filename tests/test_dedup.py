@@ -153,3 +153,39 @@ def test_multimodal_decode_plumbing(spark):
     assert out[0].n_bytes == 4 and out[1].n_bytes == 2
     assert out[0].width == 5 and out[0].height == 5  # len % 640 + 1, len % 480 + 1
     assert out[0].n_channels == 3
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's core property (SIGMOD'03): two documents sharing a
+    token run of length >= n + w - 1 + (w - 1) grams must share at least
+    one fingerprint, and unrelated texts share none."""
+    from orca_spark.operators.text3 import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"other prefix {shared} different ending"),
+            (3, "completely unrelated tokens nothing in common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs).collect()
+    by_doc = {i: {r.fp for r in fps if r.doc_id == i} for i in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2], "long shared run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_doc_keeps_one_fingerprint(spark):
+    from orca_spark.operators.text3 import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "just three tokens"), (2, "ab"), (3, "four little tokens here")],
+        "doc_id long, text string",
+    )
+    rows = winnowing_fingerprints(docs).collect()
+    per_doc = {i: [r for r in rows if r.doc_id == i] for i in (1, 2, 3)}
+    assert len(per_doc[1]) == 1  # one gram -> one fingerprint
+    assert len(per_doc[2]) == 0  # < n tokens: no grams (token-set paths cover it)
+    assert len(per_doc[3]) >= 1

@@ -139,6 +139,19 @@ def test_orc_writer_options(spark, orc_path):
     assert sorted(frame["x"]) == list(range(1000))
 
 
+def test_orc_memory_pool_and_buffer_enforce_knobs(spark, orc_path):
+    """:orc-memory-pool / :enforce-buffer-size? parity (core.clj:624-635):
+    both knobs must apply and the write must still round-trip."""
+    write_rows(
+        spark, orc_path, [(i,) for i in range(100)], "struct<x:int>",
+        memory_pool=0.4, enforce_buffer_size=True,
+    )
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("hive.exec.orc.memory.pool") == "0.4"
+    frame = read_frame(spark, orc_path)
+    assert sorted(frame["x"]) == list(range(100))
+
+
 def test_golden_decimal_orc(spark):
     """The reference's golden-file test (core_test.clj:13-18): its own
     decimal.orc must aggregate to the exact published invariants."""

@@ -86,7 +86,12 @@ def test_bucketed_pair_generators_have_no_cartesian(spark):
     """The scale-path candidate generators must pair within buckets via
     equi-joins only — a cartesian-class join here is the exact failure
     mode they exist to avoid."""
-    for name in ["embedding_near_dup_pairs_ivf", "dedup_simhash_pairs"]:
+    for name in [
+        "embedding_near_dup_pairs_ivf",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "range_join_view_attribution",
+    ]:
         p = plan_str(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name

@@ -203,7 +203,19 @@ def test_merge_integral_widening():
 def test_merge_coercible():
     assert merge_types(T.DoubleType(), T.ByteType()) == T.DoubleType()
     assert merge_types(T.ByteType(), T.FloatType()) == T.FloatType()
-    assert merge_types(T.LongType(), T.DecimalType(10, 2)) == T.DecimalType(10, 2)
+
+
+def test_merge_decimal_with_numerics_widens():
+    """Divergence from the reference (which throws): integral merges as
+    decimal(digits,0) under the max-merge rule, fractional goes to
+    double — a decimal(3,2) partner must never absorb a long."""
+    assert merge_types(T.LongType(), T.DecimalType(10, 2)) == T.DecimalType(19, 2)
+    assert merge_types(T.DecimalType(3, 2), T.LongType()) == T.DecimalType(19, 2)
+    assert merge_types(T.IntegerType(), T.DecimalType(3, 2)) == T.DecimalType(10, 2)
+    assert merge_types(T.ByteType(), T.DecimalType(10, 2)) == T.DecimalType(10, 2)
+    assert merge_types(T.DecimalType(38, 6), T.LongType()) == T.DecimalType(38, 6)
+    assert merge_types(T.DoubleType(), T.DecimalType(10, 2)) == T.DoubleType()
+    assert merge_types(T.DecimalType(38, 6), T.FloatType()) == T.DoubleType()
 
 
 def test_merge_decimal_string_is_string():
