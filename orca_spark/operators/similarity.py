@@ -302,11 +302,17 @@ def semantic_vs_lexical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # annotate ONLY the semantic candidates: intersecting tokens via two
+    # joins keyed by the (small) candidate set — never the token×token
+    # self-join, whose hot words make it quadratic on any real corpus
     inter = (
-        tok.alias("ta")
-        .join(tok.alias("tb"),
-              (F.col("ta.w") == F.col("tb.w")) & (F.col("ta.doc_id") < F.col("tb.doc_id")))
-        .groupBy(F.col("ta.doc_id").alias("ia"), F.col("tb.doc_id").alias("ib"))
+        sem.select("doc_a", "doc_b")
+        .join(tok.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy(F.col("doc_a").alias("ia"), F.col("doc_b").alias("ib"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
     out = (
