@@ -42,6 +42,7 @@ HEADLINE = [
     "embedding_near_dup_pairs_ivf",
     "similarity_pq_topk",
     "window_distribution_scalable",
+    "dedup_cross_split_contamination",
 ]
 
 

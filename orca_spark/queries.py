@@ -37,6 +37,7 @@ from orca_spark.operators import (  # noqa: F401
     similarity2,
     ranges,
     text3,
+    text4,
     profile2,
 )
 from orca_spark.streaming import jobs2  # noqa: F401
