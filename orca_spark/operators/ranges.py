@@ -18,6 +18,7 @@ surface per SURVEY.md §2.5.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from orca_spark.registry import register
@@ -99,4 +100,33 @@ def range_join_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases.select("purchase_id")
         .join(matched, "purchase_id", "left")
         .select("purchase_id", F.coalesce("views_1h", F.lit(0)).alias("views_1h"))
+    )
+
+
+@register(
+    "window_range_30d_sum",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               round(CAST(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS spend_30d
+        FROM orders
+    """,
+    description="time-RANGE window frame: per-customer trailing-30-day "
+    "spend — rangeBetween on epoch seconds (value-based frame, not row "
+    "counts), one shuffle on the partition key; ties on the same "
+    "timestamp aggregate together exactly like the SQL RANGE frame",
+)
+def window_range_30d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )

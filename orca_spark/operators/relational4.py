@@ -217,31 +217,3 @@ def scalar_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").rlike(r"^\{.*\}$").alias("looks_like_json"),
     )
 
-
-@register(
-    "window_range_30d_sum",
-    oracle="""
-        SELECT o_orderkey, o_custkey,
-               round(CAST(sum(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate
-                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-               ) AS DOUBLE), 2) AS spend_30d
-        FROM orders
-    """,
-    description="time-RANGE window frame: per-customer trailing-30-day "
-    "spend — rangeBetween on epoch seconds (value-based frame, not row "
-    "counts), one shuffle on the partition key; ties on the same "
-    "timestamp aggregate together exactly like the SQL RANGE frame",
-)
-def window_range_30d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 86400, 0)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
-    )
