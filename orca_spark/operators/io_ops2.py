@@ -120,3 +120,37 @@ def orc_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),
     )
+
+
+@register(
+    "text_source_roundtrip",
+    oracle="""
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(text)) AS BIGINT) AS total_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM documents
+    """,
+    description="line-oriented text source round-trip: documents written "
+    "as tab-separated lines (spark.write.text), read back with the text "
+    "source and re-parsed — the raw-corpus ingestion format of most "
+    "crawled datasets; aggregate proves lossless round-trip",
+)
+def text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    path = scratch_path("text_roundtrip", sf_dir)
+    (
+        d.select(F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+    back = spark.read.text(path).select(
+        F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
