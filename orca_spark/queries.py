@@ -39,6 +39,7 @@ from orca_spark.operators import (  # noqa: F401
     text3,
     text4,
     profile2,
+    pandas_ops,
 )
 from orca_spark.streaming import jobs2  # noqa: F401
 
