@@ -189,3 +189,66 @@ def test_winnowing_short_doc_keeps_one_fingerprint(spark):
     assert len(per_doc[1]) == 1  # one gram -> one fingerprint
     assert len(per_doc[2]) == 0  # < n tokens: no grams (token-set paths cover it)
     assert len(per_doc[3]) >= 1
+
+
+def test_rep_pairs_adaptive_bitmask_at_vocab_64(spark):
+    """Exactly 64 distinct tokens exercises bit 63 (the sign bit of the
+    long mask): planted near-identical sets must still pair, and the
+    pair set must equal the brute-force one."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from orca_spark.operators.dedup import _rep_pairs_adaptive
+
+    vocab = [f"w{i:02d}" for i in range(64)]
+    docs = []
+    # doc 0/1: differ by one token of 40 (J = 39/41 ≈ 0.95); doc 2: disjointish
+    docs.append((0, " ".join(vocab[:40])))
+    docs.append((1, " ".join(vocab[1:41])))
+    docs.append((2, " ".join(vocab[20:])))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    reps = d.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(F.transform(F.split("text", " "), lambda t: F.xxhash64(t)))
+        ).alias("ts"),
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _rep_pairs_adaptive(reps, threshold=0.9).collect()
+    }
+    sets = {i: set(t.split(" ")) for i, t in docs}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter / len(sets[a] | sets[b]) >= 0.9:
+            want.add((a, b))
+    assert got == want and (0, 1) in got
+
+
+def test_rep_pairs_adaptive_fallback_above_64_vocab(spark):
+    """65+ distinct tokens must take the MinHash fallback and still find
+    the planted high-Jaccard pair."""
+    from pyspark.sql import functions as F
+
+    from orca_spark.operators.dedup import _rep_pairs_adaptive
+
+    vocab = [f"tok{i:03d}" for i in range(80)]
+    docs = [
+        (0, " ".join(vocab[:40])),
+        (1, " ".join(vocab[1:41])),   # J ≈ 0.95 vs doc 0
+        (2, " ".join(vocab[40:])),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    reps = d.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(F.transform(F.split("text", " "), lambda t: F.xxhash64(t)))
+        ).alias("ts"),
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _rep_pairs_adaptive(reps, threshold=0.9).collect()
+    }
+    assert got == {(0, 1)}
