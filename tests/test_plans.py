@@ -107,6 +107,22 @@ def test_window_distribution_scalable_no_single_partition(spark):
     assert "SinglePartition" in plan_str(spark, "window_distribution")
 
 
+def test_text_pipeline_scans_prune_columns(spark):
+    """The chunking/fingerprint/packing passes touch only (doc_id, text)
+    — a scan reading lang/source/n_chars for them would ship the whole
+    table at 100 TB."""
+    for name in [
+        "text_winnowing_fingerprints",
+        "text_chunk_windows",
+        "text_greedy_pack",
+        "dedup_ngram_jaccard",
+    ]:
+        p = plan_str(spark, name)
+        assert "doc_id" in p and "text" in p, name
+        for col in ["lang", "source", "n_chars"]:
+            assert f"{col}:" not in p, f"{name} scan reads {col}"
+
+
 def test_whole_stage_codegen_everywhere_hot(spark):
     """Scalar/text pipelines must stay inside whole-stage codegen (no
     Python row loop in the hot path)."""
