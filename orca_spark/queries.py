@@ -40,6 +40,7 @@ from orca_spark.operators import (  # noqa: F401
     text4,
     profile2,
     pandas_ops,
+    relational6,
 )
 from orca_spark.streaming import jobs2  # noqa: F401
 
