@@ -291,38 +291,52 @@ def connected_components(
     global ``sum(label)`` is a fixpoint witness — unchanged sum means
     unchanged labels, with no old-vs-new join.
     """
-    # localCheckpoint (not persist): truncates the lineage each round so
-    # the k-th iteration plans a constant-size query, not a k-join one —
-    # without it, driver-side re-planning dominates past ~10 rounds.
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .union(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # The loop runs MANY small shuffles eagerly; under a session left at
+    # the default 200 shuffle partitions each round schedules ~600 tiny
+    # tasks and fixed overhead dominates (measured 4× slower on the
+    # driver's plain session). Pin the loop's shuffle width to the
+    # executor count and restore afterwards — the returned labels are
+    # checkpointed, so downstream plans are unaffected.
+    spark = nodes.sparkSession
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
-    prev_sum = None
-    for _ in range(max_iter):
-        # min over neighbors ∪ self (self-loop edges make the groupBy total)
-        stepped = (
-            sym.join(labels, sym.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jump: follow my label's label (labels are doc_ids, so
-        # they resolve against the same frame); contracts chains in half
-        hop = stepped.select(F.col("doc_id").alias("label"), F.col("label").alias("hop"))
-        labels = (
-            stepped.join(hop, "label")
-            .select("doc_id", F.least("label", "hop").alias("label"))
+    try:
+        # localCheckpoint (not persist): truncates the lineage each round
+        # so the k-th iteration plans a constant-size query, not a k-join
+        # one — without it, driver-side re-planning dominates.
+        sym = (
+            edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+            .union(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            prev_sum = None  # converged
-            break
-        prev_sum = cur_sum
+        labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+        prev_sum = None
+        for _ in range(max_iter):
+            # min over neighbors ∪ self (self-loops make the groupBy total)
+            stepped = (
+                sym.join(labels, sym.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("label"))
+            )
+            # pointer jump: follow my label's label (labels are doc_ids, so
+            # they resolve against the same frame); contracts chains in half
+            hop = stepped.select(F.col("doc_id").alias("label"), F.col("label").alias("hop"))
+            labels = (
+                stepped.join(hop, "label")
+                .select("doc_id", F.least("label", "hop").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                prev_sum = None  # converged
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     if prev_sum is not None:
         # silently-wrong labels are worse than a loud failure: a component
         # this deep has not converged in max_iter rounds
