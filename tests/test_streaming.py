@@ -38,3 +38,67 @@ def test_streaming_rerun_deterministic(spark):
     a = sorted(map(tuple, q(spark, SF_DIR).collect()))
     b = sorted(map(tuple, q(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_watermark_drops_late_data_for_finalized_windows(spark, tmp_path):
+    """Append-mode watermark contract: once a window is FINALIZED and
+    emitted, a record for it arriving in a later micro-batch is dropped
+    — the emitted result is never contradicted or duplicated. (A late
+    record for a not-yet-emitted window may still legally merge, which
+    is why the late row here arrives two batches after its window.)"""
+    import os
+    import datetime
+
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d)
+    base = datetime.datetime(2024, 6, 1, 10, 0, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts timestamp, k long")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}")
+        for root, _, files in os.walk(f"{d}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # batch 0: 10:00-12:00 (nothing emitted yet — initial watermark is 0)
+    write_file(
+        "a",
+        [(base + datetime.timedelta(minutes=m), 1) for m in (0, 30, 110, 120)],
+        1_000_000,
+    )
+    # batch 1: 13:00 — watermark reaches 12:50, finalizing h10/h11/...
+    write_file("b", [(base + datetime.timedelta(hours=3), 1)], 2_000_000)
+    # batch 2: a LATE row for the already-emitted h10 window + on-time 14:00
+    write_file(
+        "c",
+        [
+            (base + datetime.timedelta(minutes=5), 1),
+            (base + datetime.timedelta(hours=4), 1),
+        ],
+        3_000_000,
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, k long")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{d}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+    rows = run_to_memory(agg, "append").collect()
+    got = {(r.bucket, r.n) for r in rows}
+    h10 = datetime.datetime(2024, 6, 1, 10, 0, 0)
+    h11 = datetime.datetime(2024, 6, 1, 11, 0, 0)
+    h12 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    # h10 was emitted with 2 rows when the watermark passed it; the late
+    # 10:05 row must neither update it nor re-emit it
+    assert (h10, 2) in got, got
+    assert len(rows) == len(got), "append re-emitted a finalized window"
+    assert (h11, 1) in got and (h12, 1) in got, got
+    # the 13:00 and 14:00 windows are still open at the final watermark
+    # (13:50 < their window ends) and must not emit
+    assert len(got) == 3, got
