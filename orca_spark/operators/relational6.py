@@ -132,3 +132,34 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_stddev",
         F.round(m3 / F.pow(m2, 1.5), 6).alias("price_pop_skew"),
     )
+
+
+@register(
+    "events_rollup_hierarchy",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               count(*)::BIGINT      AS n,
+               round(CAST(sum(value) AS DOUBLE), 2) AS total
+        FROM events
+        GROUP BY 1
+    """,
+    description="hierarchical rollup reuse (continuous-aggregate "
+    "pattern): minute-level partials computed once, hour derived by "
+    "re-aggregating minutes, day by re-aggregating hours — each level "
+    "reduces ~60x, so the day rollup touches minutes-level rows, never "
+    "raw events twice; oracle computes day directly from raw events, "
+    "proving the re-aggregation exact",
+)
+def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    minute = e.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "minute").alias("hour")).agg(
+        F.sum("n").alias("n"), F.sum("total").alias("total")
+    )
+    day = hour.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("total").cast("double"), 2).alias("total"),
+    )
+    return day
