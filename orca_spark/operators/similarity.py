@@ -157,9 +157,10 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="per-vector L2 norm (narrow map, no shuffle)",
 )
 def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    e = _as_double(F.col("embedding"))
-    return emb.select("vec_id", "label", F.round(F.sqrt(dot(e, e)), 4).alias("l2_norm"))
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    )
+    return emb.select("vec_id", "label", F.round(F.sqrt(dot("e", "e")), 4).alias("l2_norm"))
 
 
 @register(
