@@ -57,12 +57,17 @@ def write_orc(
     JVM-wide hadoop conf (applied to the session, since the ORC memory
     manager is per-JVM), the latter a per-write option.
     """
+    hconf = None
+    prev_pool = None
     if memory_pool is not None:
         # must go to the live hadoop conf: spark.hadoop.* session confs
-        # are only read at context startup
-        df.sparkSession.sparkContext._jsc.hadoopConfiguration().set(
-            "hive.exec.orc.memory.pool", str(memory_pool)
-        )
+        # are only read at context startup. Save the previous value and
+        # restore it after the write — the conf is JVM-wide, and leaving
+        # it set would silently apply this write's knob to every later
+        # ORC write in the session.
+        hconf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+        prev_pool = hconf.get("hive.exec.orc.memory.pool")
+        hconf.set("hive.exec.orc.memory.pool", str(memory_pool))
     writer = df.write.mode("overwrite" if overwrite else "errorifexists")
     if enforce_buffer_size is not None:
         writer = writer.option(
@@ -80,7 +85,14 @@ def write_orc(
         writer = writer.option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.orc(path)
+    try:
+        writer.orc(path)
+    finally:
+        if hconf is not None:
+            if prev_pool is None:
+                hconf.unset("hive.exec.orc.memory.pool")
+            else:
+                hconf.set("hive.exec.orc.memory.pool", prev_pool)
 
 
 def read_orc(spark: SparkSession, path: str, *, merge_schema: bool = False) -> DataFrame:

@@ -278,7 +278,16 @@ def connected_components(
 ) -> DataFrame:
     """Cluster ids via min-label propagation with pointer jumping.
 
-    ``nodes``: (doc_id); ``edges``: (doc_a, doc_b) undirected. Each
+    ``nodes``: (doc_id); ``edges``: (doc_a, doc_b) undirected.
+    CONTRACT: every edge endpoint must be a member of ``nodes`` — edges
+    are the candidate pairs generated FROM the node set, so this holds
+    for every caller here. An edge referencing a foreign id would emit
+    a label row for that id too (endpoints are unioned into the
+    propagation frame); callers with untrusted edges should semi-join
+    ``edges`` onto ``nodes`` first rather than pay that join here on
+    the trusted path.
+
+    Each
     round propagates the minimum label across edges (self-loops folded
     in, so the step is ONE groupBy — no separate left-join to keep a
     node's own label) and then POINTER-JUMPS

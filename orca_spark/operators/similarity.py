@@ -55,27 +55,58 @@ def dot(a, b, dim: int | None = _DIM) -> Column:
     plan construction for every pair query). Literal vectors likewise
     ride as SQL literals, never as ``F.array(*lits)`` (not constant-
     folded; re-materializes the array per term at runtime).
+
+    Width safety: the static expansion indexes ``a[dim-1]``, and Spark's
+    non-ANSI out-of-range array access yields NULL — a narrower input
+    would produce silently-wrong (NULL) dots. Every expanded form is
+    therefore wrapped in a size guard that RAISES on width mismatch
+    (one ``size()`` comparison per input per row — O(1) against the
+    O(dim) multiply-adds it protects; whole-stage codegen keeps the
+    CASE inline).
     """
     if isinstance(b, (list, tuple)):
+        vec = [float(v) for v in b]
         if isinstance(a, str):
-            return F.expr(_sql_dot_lit(a, [float(v) for v in b]))
-        expr = a[0] * F.lit(float(b[0]))
-        for i in range(1, len(b)):
-            expr = expr + a[i] * F.lit(float(b[i]))
-        return expr
-    if isinstance(a, str) and isinstance(b, str) and dim is not None:
-        return F.expr(
-            "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)) + ")"
+            return F.expr(_guard_width(_sql_dot_lit(a, vec), [a], len(vec)))
+        expr = a[0] * F.lit(vec[0])
+        for i in range(1, len(vec)):
+            expr = expr + a[i] * F.lit(vec[i])
+        return F.when(F.size(a) == len(vec), expr).otherwise(
+            _raise_width(len(vec), a)
         )
+    if isinstance(a, str) and isinstance(b, str) and dim is not None:
+        chain = "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)) + ")"
+        return F.expr(_guard_width(chain, [a, b], dim))
     if dim is not None:
         expr = a[0] * b[0]
         for i in range(1, dim):
             expr = expr + a[i] * b[i]
-        return expr
+        return F.when((F.size(a) == dim) & (F.size(b) == dim), expr).otherwise(
+            _raise_width(dim, a)
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _guard_width(expr_sql: str, cols: list[str], dim: int) -> str:
+    """Wrap an expanded dot chain in a width assertion (SQL-string form)."""
+    cond = " and ".join(f"size({c}) = {dim}" for c in cols)
+    sizes = ", ".join(f"' ', size({c})" for c in cols)
+    return (
+        f"(case when {cond} then {expr_sql} else "
+        f"raise_error(concat('dot(): expected array width {dim}, got',{sizes})) end)"
+    )
+
+
+def _raise_width(dim: int, col) -> Column:
+    return F.raise_error(
+        F.concat(
+            F.lit(f"dot(): expected array width {dim}, got "),
+            F.size(col).cast("string"),
+        )
     )
 
 
@@ -369,7 +400,11 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe:
     probed = (
         f"transform(slice(array_sort(array({structs})), 1, {nprobe}), s -> s.cid)"
     )
-    return emb.withColumn("clusters", F.expr(probed))
+    # one width assertion for the whole argmin (the per-centroid chains
+    # inside are unguarded _sql_dot_lit text — guarding each would add k
+    # redundant size() checks per row)
+    dim = len(centroids[0][1])
+    return emb.withColumn("clusters", F.expr(_guard_width(probed, ["e"], dim)))
 
 
 _KMEANS_SAMPLE = 4096

@@ -53,3 +53,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
     _RELATION_CACHE[key] = df
     return df
+
+
+def invalidate(sf_dir: str | None = None) -> None:
+    """Drop cached relations (all, or those under one ``sf_dir``).
+
+    The cache assumes the bench corpora are immutable; any writer that
+    ever rewrites a table under ``sf_dir`` must call this first or the
+    cached relation can serve a stale file listing / fail on vanished
+    files. Also the lever if the per-(app, sf_dir) entries ever matter
+    for memory (they are analyzed plans, a few KiB each).
+    """
+    if sf_dir is None:
+        _RELATION_CACHE.clear()
+        return
+    for key in [k for k in _RELATION_CACHE if k[1] == sf_dir]:
+        del _RELATION_CACHE[key]
