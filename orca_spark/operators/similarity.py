@@ -273,6 +273,43 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def annotate_lexical_jaccard(sem: DataFrame, docs: DataFrame) -> DataFrame:
+    """Annotate semantic candidate pairs ``(doc_a, doc_b, raw)`` with
+    their token-set Jaccard.
+
+    Intersections come from two joins keyed by the (small) candidate
+    set — never the token×token self-join, whose hot words make it
+    quadratic on any real corpus. Shared by the exact (oracle) and
+    IVF-bucketed (scale) forms of the semantic-vs-lexical view.
+    """
+    tok = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sem.select("doc_a", "doc_b")
+        .join(tok.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy(F.col("doc_a").alias("ia"), F.col("doc_b").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        sem.join(inter, (F.col("ia") == F.col("doc_a")) & (F.col("ib") == F.col("doc_b")), "left")
+        .join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"), "left")
+        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"), "left")
+    )
+    jac = F.coalesce(
+        F.col("i") / (F.col("za.sz") + F.col("zb.sz") - F.col("i")), F.lit(0.0)
+    )
+    return out.select(
+        "doc_a", "doc_b",
+        F.round("raw", 4).alias("cosine"),
+        F.round(jac, 4).alias("jaccard"),
+    )
+
+
+
 @register(
     "semantic_vs_lexical_dedup",
     oracle="""
@@ -331,35 +368,7 @@ def semantic_vs_lexical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("raw") >= 0.4)
     )
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # annotate ONLY the semantic candidates: intersecting tokens via two
-    # joins keyed by the (small) candidate set — never the token×token
-    # self-join, whose hot words make it quadratic on any real corpus
-    inter = (
-        sem.select("doc_a", "doc_b")
-        .join(tok.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tok.alias("tb"),
-            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("ta.w") == F.col("tb.w")),
-        )
-        .groupBy(F.col("doc_a").alias("ia"), F.col("doc_b").alias("ib"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    out = (
-        sem.join(inter, (F.col("ia") == F.col("doc_a")) & (F.col("ib") == F.col("doc_b")), "left")
-        .join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"), "left")
-        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"), "left")
-    )
-    jac = F.coalesce(
-        F.col("i") / (F.col("za.sz") + F.col("zb.sz") - F.col("i")), F.lit(0.0)
-    )
-    return out.select(
-        "doc_a", "doc_b",
-        F.round("raw", 4).alias("cosine"),
-        F.round(jac, 4).alias("jaccard"),
-    )
+    return annotate_lexical_jaccard(sem, load(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

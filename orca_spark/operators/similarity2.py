@@ -126,6 +126,31 @@ def embedding_near_dup_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_near_dup_pairs(emb.select("vec_id", "e", "label"), cache_key=sf_dir)
 
 
+@register(
+    "semantic_vs_lexical_dedup_bucketed",
+    oracle=None,  # cluster pruning is approximate by construction; recall
+    # vs the exact (oracle-checked) semantic_vs_lexical_dedup is asserted
+    # in tests/test_similarity.py and the plan is asserted cartesian-free
+    description="scale form of semantic_vs_lexical_dedup: the cosine "
+    "candidate stage comes from the SemDeDup cluster buckets "
+    "(ivf_near_dup_pairs) instead of the all-pairs self-join; the "
+    "lexical Jaccard annotation is keyed off the candidate set exactly "
+    "as in the oracle form — no cartesian-class join anywhere",
+)
+def semantic_vs_lexical_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_spark.operators.similarity import annotate_lexical_jaccard
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    sem = ivf_near_dup_pairs(emb, cache_key=sf_dir).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.col("cosine").alias("raw"),
+    )
+    return annotate_lexical_jaccard(sem, load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # IVF + product quantization
 # ---------------------------------------------------------------------------

@@ -36,6 +36,11 @@ def get_spark(app_name: str = "orca_spark", cpus: int | None = None) -> SparkSes
         .config("spark.ui.enabled", "false")
         .config("spark.sql.orc.enableVectorizedReader", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive (isAdjustedToUTC=false) parquet timestamps read as
+        # TIMESTAMP (UTC instants under the UTC session tz), not
+        # TIMESTAMP_NTZ — watermarks/unix_micros require TIMESTAMP, and
+        # the DuckDB oracle compares the same UTC-naive values
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,6 +56,12 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        # driver testdata stores naive timestamp[us]; read as TIMESTAMP
+        # (UTC instant) so watermarks / unix_micros keep working
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     try:
         # nanosecond-timestamp parquet (events table) reads as long
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

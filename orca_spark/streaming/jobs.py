@@ -47,6 +47,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
             )
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # naive parquet timestamps read as TIMESTAMP_NTZ break
+            # withWatermark (requires TIMESTAMP); UTC session tz makes
+            # this cast value-preserving
+            stream = stream.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return stream
 
 

@@ -51,6 +51,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Defensive: if the session reads naive parquet timestamps as
+            # TIMESTAMP_NTZ (inferTimestampNTZ on), normalize to TIMESTAMP —
+            # under the UTC session tz this is value-preserving, and
+            # watermarks / unix_micros / window ops require TIMESTAMP.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     _RELATION_CACHE[key] = df
     return df
 

@@ -146,8 +146,10 @@ def test_orc_memory_pool_and_buffer_enforce_knobs(spark, orc_path):
         spark, orc_path, [(i,) for i in range(100)], "struct<x:int>",
         memory_pool=0.4, enforce_buffer_size=True,
     )
+    # the JVM-wide pool knob must be RESTORED after the write (it would
+    # otherwise silently apply to every later ORC write in the session)
     hc = spark.sparkContext._jsc.hadoopConfiguration()
-    assert hc.get("hive.exec.orc.memory.pool") == "0.4"
+    assert hc.get("hive.exec.orc.memory.pool") is None
     frame = read_frame(spark, orc_path)
     assert sorted(frame["x"]) == list(range(100))
 

@@ -126,3 +126,27 @@ def test_lsh_topk_exact_within_bucket(emb):
     brute = {r.neighbor_id: r.cosine for r in brute_topk_df(emb, q, k=100).collect()}
     for r in lsh:
         assert math.isclose(brute[r.neighbor_id], r.cosine, abs_tol=1e-9)
+
+
+def test_semantic_vs_lexical_bucketed_subset_of_exact(spark):
+    """The bucketed semantic-vs-lexical view must agree with the exact
+    (oracle-checked) form on every pair it emits — same cosine, same
+    jaccard — and keep the IVF recall floor."""
+    from tests.conftest import SF_DIR
+    from orca_spark.queries import queries
+
+    q = queries()
+    exact = {
+        (r.doc_a, r.doc_b): (r.cosine, r.jaccard)
+        for r in q["semantic_vs_lexical_dedup"](spark, SF_DIR).collect()
+    }
+    bucketed = {
+        (r.doc_a, r.doc_b): (r.cosine, r.jaccard)
+        for r in q["semantic_vs_lexical_dedup_bucketed"](spark, SF_DIR).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, (c, j) in bucketed.items():
+        ec, ej = exact[pair]
+        assert math.isclose(ec, c, abs_tol=1e-9)
+        assert math.isclose(ej, j, abs_tol=1e-9)
+    assert len(bucketed) / len(exact) >= 0.9
