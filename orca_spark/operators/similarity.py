@@ -390,8 +390,32 @@ def _sql_dot_lit(col: str, vec: list[float]) -> str:
     return "(" + " + ".join(f"{col}[{i}]*{v!r}D" for i, v in enumerate(vec)) + ")"
 
 
+# past this many centroids the literal argmin expression (k×dim terms)
+# stops being the right plan: codegen limits, multi-MiB task binaries,
+# and per-row O(k·dim) work — switch to the broadcast-join argmin whose
+# PLAN size is k-independent (the k rows ride in a broadcast relation)
+_LITERAL_K_MAX = 8
+
+
 def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe: int = 1):
-    """Attach nearest-centroid cluster ids. ``centroids`` is a small
+    """Attach nearest-centroid cluster ids (``clusters array<int>``).
+
+    Dispatches on quantizer size: up to ``_LITERAL_K_MAX`` centroids the
+    argmin is a shuffle-free codegen'd literal expression; past that it
+    becomes a broadcast-join + aggregation whose plan size is
+    k-independent (the ``k ≈ √n`` sizing at 100 TB needs k in the
+    thousands — a literal expression that wide exceeds whole-stage-
+    codegen limits and ships multi-MiB task binaries).
+    """
+    if len(centroids) > _LITERAL_K_MAX:
+        return ivf_assign_join(emb, centroids, nprobe=nprobe)
+    return ivf_assign_literal(emb, centroids, nprobe=nprobe)
+
+
+def ivf_assign_literal(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe: int = 1
+):
+    """Literal-expression argmin (small k). ``centroids`` is a small
     driver-side list (cluster_id, vector) — broadcast as literals into a
     codegen'd argmin; corpus pass is shuffle-free.
 
@@ -414,6 +438,51 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe:
     # redundant size() checks per row)
     dim = len(centroids[0][1])
     return emb.withColumn("clusters", F.expr(_guard_width(probed, ["e"], dim)))
+
+
+def ivf_assign_join(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe: int = 1
+):
+    """Broadcast-join argmin (large k): k-independent PLAN size.
+
+    The centroid table rides as a BroadcastHashJoin build side (constant
+    join key — every probe row matches all k build rows, which is the
+    point: score each row against each centroid), distances are ONE
+    generic ``e[i]*cvec[i]`` chain evaluated per joined row, and the
+    per-row argmin is an aggregation back on the row key. Costs one
+    shuffle on ``vec_id`` (the aggregation) that the literal path
+    avoids — the price of a plan whose size doesn't grow with k.
+    Distance formula and (d, cid) tie-breaking are bit-identical to
+    ``ivf_assign_literal`` (same ‖c‖² − 2x·c form, same left-to-right
+    summation order), so the two paths pick identical clusters.
+    """
+    spark = emb.sparkSession
+    dim = len(centroids[0][1])
+    cdf = spark.createDataFrame(
+        [(cid, [float(v) for v in vec], float(sum(v * v for v in vec)))
+         for cid, vec in centroids],
+        "cid int, cvec array<double>, c2 double",
+    )
+    carried = [c for c in emb.columns]
+    # fan each row out to every centroid id, then equi-join the broadcast
+    # centroid table on cid: a BroadcastHashJoin (a bare cross join would
+    # plan as BroadcastNestedLoopJoin — same physics at k rows, but BHJ
+    # keeps the plan inside the cartesian-free contract the pair
+    # generators assert, and survives clusters that ban nested-loop joins)
+    fanned = emb.withColumn(
+        "cid", F.explode(F.lit([cid for cid, _ in centroids]))
+    )
+    joined = fanned.join(F.broadcast(cdf), "cid")
+    d = F.col("c2") - F.lit(2.0) * dot("e", "cvec", dim)
+    scored = joined.withColumn("_d", d)
+    picked = scored.groupBy("vec_id").agg(
+        *[F.first(c).alias(c) for c in carried if c != "vec_id"],
+        F.expr(
+            f"transform(slice(array_sort(collect_list(struct(_d, cid))), 1, {nprobe}),"
+            " s -> s.cid)"
+        ).alias("clusters"),
+    )
+    return picked.select(*carried, "clusters")
 
 
 _KMEANS_SAMPLE = 4096

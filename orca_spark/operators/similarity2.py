@@ -66,9 +66,26 @@ def ivf_near_dup_pairs(
     cents = kmeans_centroids(emb, cache_key=cache_key)
     # materialize the assignment table (the index-build step a real
     # pipeline persists once): the self-join below would otherwise
-    # evaluate the ~10-centroid argmin expression on both sides
+    # evaluate the ~10-centroid argmin expression on both sides.
+    # Repartition first — the source parquet arrives as one split at
+    # test scale and the argmin must run wide, not on a single core.
+    #
+    # Pruning honesty (measured at sf0.1): THIS corpus is near-uniform
+    # (max pairwise cosine ≈ 0.5), so cluster buckets at nprobe=3 keep
+    # ~82% of all pairs as candidates — the exact-scoring stage, not the
+    # bucketing, is the cost here, and a PQ/SDC prefilter was measured
+    # useless (p99.9 reconstruction error 0.36 vs the 0.4 threshold ⇒ a
+    # sound margin keeps everything). On real clustered embeddings the
+    # same plan prunes ~k-fold; the plan shape is the 100 TB shape.
     assigned = (
-        _with_norm(ivf_assign(emb, cents, nprobe=nprobe), "n")
+        _with_norm(
+            ivf_assign(
+                emb.repartition(emb.sparkSession.sparkContext.defaultParallelism),
+                cents,
+                nprobe=nprobe,
+            ),
+            "n",
+        )
         .select("vec_id", "e", "n", "clusters")
         .localCheckpoint(eager=True)
     )
@@ -143,10 +160,17 @@ def semantic_vs_lexical_dedup_bucketed(spark: SparkSession, sf_dir: str) -> Data
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
-    sem = ivf_near_dup_pairs(emb, cache_key=sf_dir).select(
-        F.col("vec_a").alias("doc_a"),
-        F.col("vec_b").alias("doc_b"),
-        F.col("cosine").alias("raw"),
+    # the candidate set is tiny (near-dup pairs) but feeds THREE joins in
+    # the annotation — materialize it once or the whole IVF pipeline
+    # (assignment, bucket join, exact verify) re-executes per branch
+    sem = (
+        ivf_near_dup_pairs(emb, cache_key=sf_dir)
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            F.col("cosine").alias("raw"),
+        )
+        .localCheckpoint(eager=True)
     )
     return annotate_lexical_jaccard(sem, load(spark, sf_dir, "documents"))
 
@@ -217,18 +241,114 @@ def _sql_subdot(col: str, s: int, width: int, cw: list[float]) -> str:
     )
 
 
+# literal-expression ceiling for the PQ encoder: past 16 codewords per
+# subspace (or a coarse quantizer past the literal k ceiling) the encode
+# expression / cluster-scalar maps grow with k·M·ncodes — switch to the
+# broadcast-join encoder whose plan size is codebook-independent
+_ENCODE_LITERAL_CODES_MAX = 16
+
+
 def pq_encode(
     assigned: DataFrame,
     centroids: list[tuple[int, list[float]]],
     books: list[list[list[float]]],
 ) -> DataFrame:
-    """Attach ``codes array<tinyint>``: per-subspace argmin codeword of
-    the coarse residual, WITHOUT materializing the residual —
-    ‖(e−c)_m − cw‖² argmin-reduces to ‖cw‖² − 2·e_m·cw + 2·c_m·cw, where
-    c_m·cw is a per-(cluster, codeword) scalar folded into a tiny literal
-    map. Pure codegen'd math, shuffle-free; the whole expression is
-    assembled as ONE SQL string (see ``_sql_dot_lit``'s rationale —
-    Column-object assembly spent ~6 s per call in py4j round-trips)."""
+    """Attach ``codes array<tinyint>`` — dispatches on codebook size:
+    literal codegen'd expression for the registered (M=8 × 16-codeword,
+    k=8-cluster) shape, broadcast-join encoder past it (production
+    codebooks run 256 codewords and √n coarse clusters — a literal
+    expression that wide exceeds codegen limits)."""
+    from orca_spark.operators.similarity import _LITERAL_K_MAX
+
+    if len(books[0]) > _ENCODE_LITERAL_CODES_MAX or len(centroids) > _LITERAL_K_MAX:
+        return pq_encode_join(assigned, centroids, books)
+    return pq_encode_literal(assigned, centroids, books)
+
+
+def pq_encode_join(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """Codebook-independent PQ encoder: codewords and per-(cluster,
+    codeword) scalars ride in BROADCAST tables instead of literal
+    expressions.
+
+    Each vector fans out to its M subspaces (one explode), equi-joins
+    the broadcast codebook on the subspace id (M×ncodes candidate rows
+    per vector) plus the broadcast cluster-scalar table on
+    (cluster, s, code), scores the same ‖cw‖² − 2·e_m·cw + 2·c_m·cw
+    distance with a generic zip_with dot, and argmin-reduces per
+    (vector, subspace) then reassembles the code array per vector. Two
+    aggregations replace the literal path's shuffle-free expression —
+    the price of plan size independent of k, M and ncodes. Distance
+    terms and (d, code) tie-breaking match ``pq_encode_literal``
+    exactly (same Python-float constants, same left-to-right dot), so
+    both encoders emit identical codes.
+    """
+    spark = assigned.sparkSession
+    m = len(books)
+    width = len(books[0][0])
+    book_rows = [
+        (s, c, [float(v) for v in cw], float(sum(v * v for v in cw)))
+        for s, book in enumerate(books)
+        for c, cw in enumerate(book)
+    ]
+    books_df = F.broadcast(
+        spark.createDataFrame(book_rows, "s int, code int, cw array<double>, cw2 double")
+    )
+    ccw_rows = [
+        (int(cid), s, c,
+         float(sum(a * b for a, b in zip(cvec[s * width:(s + 1) * width], cw))))
+        for cid, cvec in centroids
+        for s, book in enumerate(books)
+        for c, cw in enumerate(book)
+    ]
+    ccw_df = F.broadcast(
+        spark.createDataFrame(ccw_rows, "cluster int, s int, code int, ccw double")
+    )
+    carried = [c for c in assigned.columns]
+    fanned = assigned.withColumn("s", F.explode(F.lit(list(range(m))))).withColumn(
+        "sub", F.slice("e", F.col("s") * width + 1, width)
+    )
+    cand = fanned.join(books_df, "s").join(ccw_df, ["cluster", "s", "code"])
+    subdot = F.aggregate(
+        F.zip_with("sub", "cw", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = F.col("cw2") - F.lit(2.0) * subdot + F.lit(2.0) * F.col("ccw")
+    best = (
+        cand.withColumn("_d", d)
+        .groupBy("vec_id", "s")
+        .agg(
+            *[F.first(c).alias(c) for c in carried if c != "vec_id"],
+            F.min(F.struct("_d", "code")).alias("_best"),
+        )
+    )
+    out = best.groupBy("vec_id").agg(
+        *[F.first(c).alias(c) for c in carried if c != "vec_id"],
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, _best.code))),"
+            " p -> cast(p.code as tinyint))"
+        ).alias("codes"),
+    )
+    return out.select(*carried, "codes")
+
+
+def pq_encode_literal(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """Literal-expression PQ encoder (small codebooks): per-subspace
+    argmin codeword of the coarse residual, WITHOUT materializing the
+    residual — ‖(e−c)_m − cw‖² argmin-reduces to
+    ‖cw‖² − 2·e_m·cw + 2·c_m·cw, where c_m·cw is a per-(cluster,
+    codeword) scalar folded into a tiny literal map. Pure codegen'd
+    math, shuffle-free; the whole expression is assembled as ONE SQL
+    string (see ``_sql_dot_lit``'s rationale — Column-object assembly
+    spent ~6 s per call in py4j round-trips)."""
     width = len(books[0][0])
     codes = []
     for s, book in enumerate(books):
@@ -263,74 +383,94 @@ def pq_topk_df(
     from their 8-byte codes, exact-rerank only the per-query ADC
     top-``shortlist``.
 
-    ADC is fully algebraic — q·x̂ = q·c + Σ_m q_m·cw[code_m] and
-    ‖x̂‖² = ‖c‖² + Σ_m (2·c_m·cw[code_m] + ‖cw[code_m]‖²) — so scoring is
-    per-subspace literal lookups plus one q·c dot against the (broadcast)
-    centroid columns; no vector is ever reconstructed. Ranking within a
-    query divides by ‖x̂‖ only (‖q‖ is constant per query)."""
+    ADC is fully algebraic — q·x̂ = q·c + Σ_m q_m·cw[code_m] — and every
+    term that doesn't depend on the (query, candidate) PAIR is hoisted
+    out of the candidate loop:
+
+    * the index stores each vector's TRUE norm next to its codes (the
+      standard 8-extra-bytes trick — exact, and a strictly better
+      ranking denominator than the reconstructed ‖x̂‖, whose literal
+      lookup tables previously dominated both plan size and per-row
+      work);
+    * q·c and the per-subspace lookup table q_m·cw[·] are computed
+      DRIVER-SIDE in numpy — the query set is bounded and broadcast by
+      contract (the same boundedness brute_topk relies on), so this is
+      a few thousand flops, not a distributed stage, and it removes the
+      ~1000-term broadcast-side expressions from the plan entirely.
+
+    Per-candidate scoring is then M ``element_at`` lookups + one
+    divide. Ranking within a query divides by ‖x‖ only (‖q‖ is
+    constant per query)."""
+    import numpy as np
+
     cents = kmeans_centroids(emb, cache_key=cache_key)
     books = train_pq(emb, cents, cache_key=cache_key)
+    m = len(books)
     width = len(books[0][0])
+    dim = len(cents[0][1])
+    spark = emb.sparkSession
     # materialize the index (a real deployment writes it to storage once):
     # this is ALSO what keeps the plan sane — downstream ADC references
-    # codes[s] ~24 times, and without a barrier Catalyst's projection
-    # collapse would inline the full encode expression into every one
-    corpus = pq_encode(
-        ivf_assign(emb, cents, nprobe=1).select(
-            "vec_id", "e", F.element_at("clusters", 1).alias("cluster")
-        ),
-        cents,
-        books,
-    ).localCheckpoint(eager=True)
-    spark = emb.sparkSession
-    cents_df = F.broadcast(
-        spark.createDataFrame(
-            [(cid, vec, float(sum(v * v for v in vec))) for cid, vec in cents],
-            "cluster int, cvec array<double>, c2 double",
+    # codes ~M times, and without a barrier Catalyst's projection
+    # collapse would inline the full encode expression into every one.
+    # Repartition first: the source parquet arrives as ONE split at test
+    # scale, and the encode argmin is the expensive per-row expression —
+    # it must run wide, not on a single core.
+    corpus = (
+        pq_encode(
+            ivf_assign(
+                emb.repartition(spark.sparkContext.defaultParallelism),
+                cents,
+                nprobe=1,
+            ).select("vec_id", "e", F.element_at("clusters", 1).alias("cluster")),
+            cents,
+            books,
         )
+        .withColumn("nrm", F.sqrt(dot("e", "e", dim)))
+        .localCheckpoint(eager=True)
     )
-    q = F.broadcast(
-        ivf_assign(queries, cents, nprobe=nprobe).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("e").alias("qe"),
-            F.explode("clusters").alias("cluster"),
-        )
-    )
-    # Σ_m q_m·cw[code_m]  and  Σ_m (2·c_m·cw + ‖cw‖²) from the codes —
-    # assembled as one SQL string (see _sql_dot_lit's rationale)
-    q_resid = " + ".join(
-        "element_at(array("
-        + ", ".join(_sql_subdot("qe", s, width, cw) for cw in book)
-        + f"), cast(codes[{s}] as int) + 1)"
-        for s, book in enumerate(books)
-    )
-    x2_terms = []
-    for s, book in enumerate(books):
-        cw2 = (
-            "element_at(array("
-            + ", ".join(f"{sum(v * v for v in cw)!r}D" for cw in book)
-            + f"), cast(codes[{s}] as int) + 1)"
-        )
-        ccw_arr = ", ".join(
-            "element_at(map("
-            + ", ".join(
-                f"{cid}, "
-                f"{sum(a * b for a, b in zip(cvec[s * width:(s + 1) * width], cw))!r}D"
-                for cid, cvec in cents
+    # query-side tables, driver-side: probe assignment, q·c, and the
+    # q_m·cw lookup tables for the handful of query vectors
+    qrows = queries.select("vec_id", "e").collect()
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = np.array([list(r.e) for r in qrows], dtype=np.float64)
+    cmat = np.array([vec for _, vec in sorted(cents)], dtype=np.float64)
+    cids = [cid for cid, _ in sorted(cents)]
+    d2 = ((qmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    probe_idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+    qc_all = qmat @ cmat.T
+    q_rows = []
+    for qi, qid in enumerate(qids):
+        qlut = [
+            [
+                float(np.dot(qmat[qi, s * width : (s + 1) * width], np.asarray(cw)))
+                for cw in book
+            ]
+            for s, book in enumerate(books)
+        ]
+        for ci in probe_idx[qi]:
+            q_rows.append(
+                (
+                    qid,
+                    [float(v) for v in qmat[qi]],
+                    int(cids[ci]),
+                    float(qc_all[qi, ci]),
+                    qlut,
+                )
             )
-            + "), cluster)"
-            for cw in book
+    q = F.broadcast(
+        spark.createDataFrame(
+            q_rows,
+            "query_id long, qe array<double>, cluster int, qc double,"
+            " qlut array<array<double>>",
         )
-        ccw = f"element_at(array({ccw_arr}), cast(codes[{s}] as int) + 1)"
-        x2_terms.append(f"(2.0D*{ccw} + {cw2})")
-    x2 = "c2 + " + " + ".join(x2_terms)
-    qc_dot = (
-        "(" + " + ".join(f"qe[{i}]*cvec[{i}]" for i in range(len(cents[0][1]))) + ")"
     )
-    adc = F.expr(f"({qc_dot} + {q_resid}) / sqrt({x2})")
+    adc_sum = " + ".join(
+        f"element_at(qlut[{s}], cast(codes[{s}] as int) + 1)" for s in range(m)
+    )
+    adc = F.expr(f"(qc + ({adc_sum})) / nrm")
     scored = (
         corpus.join(q, ["cluster"])
-        .join(cents_df, ["cluster"])
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id", "e", "qe", adc.alias("adc"))
     )

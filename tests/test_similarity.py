@@ -150,3 +150,68 @@ def test_semantic_vs_lexical_bucketed_subset_of_exact(spark):
         assert math.isclose(ec, c, abs_tol=1e-9)
         assert math.isclose(ej, j, abs_tol=1e-9)
     assert len(bucketed) / len(exact) >= 0.9
+
+
+def _df_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_ivf_assign_join_matches_literal_at_k64(emb):
+    """The k-independent broadcast-join argmin must pick exactly the
+    clusters the literal-expression argmin picks (same distance form,
+    same tie-break), and the dispatcher must route k=64 through the
+    join path with a BroadcastHashJoin plan — not a mega-expression."""
+    from orca_spark.operators.similarity import (
+        _LITERAL_K_MAX,
+        ivf_assign,
+        ivf_assign_join,
+        ivf_assign_literal,
+    )
+
+    rng = random.Random(7)
+    cents = [(i, _vec(rng)) for i in range(64)]
+    lit = {r.vec_id: list(r.clusters)
+           for r in ivf_assign_literal(emb, cents, nprobe=3).collect()}
+    jn = {r.vec_id: list(r.clusters)
+          for r in ivf_assign_join(emb, cents, nprobe=3).collect()}
+    assert lit == jn
+    dispatched = ivf_assign(emb, cents, nprobe=3)
+    plan = _df_plan(dispatched)
+    assert "BroadcastHashJoin" in plan
+    # small k stays on the shuffle-free literal path
+    small = ivf_assign(emb, cents[:_LITERAL_K_MAX], nprobe=1)
+    assert "BroadcastHashJoin" not in _df_plan(small)
+    assert "Exchange" not in _df_plan(small)
+
+
+def test_pq_encode_join_matches_literal(emb):
+    """The codebook-independent broadcast-join PQ encoder must emit
+    byte-identical codes to the literal-expression encoder, and the
+    dispatcher must route oversized codebooks through the join path."""
+    from orca_spark.operators.similarity import ivf_assign, kmeans_centroids
+    from orca_spark.operators.similarity2 import (
+        pq_encode,
+        pq_encode_join,
+        pq_encode_literal,
+        train_pq,
+    )
+
+    cents = kmeans_centroids(emb)
+    assigned = ivf_assign(emb, cents, nprobe=1).select(
+        "vec_id", "e", F.element_at("clusters", 1).alias("cluster")
+    )
+    books = train_pq(emb, cents)
+    lit = {r.vec_id: list(r.codes)
+           for r in pq_encode_literal(assigned, cents, books).collect()}
+    jn = {r.vec_id: list(r.codes)
+          for r in pq_encode_join(assigned, cents, books).collect()}
+    assert lit == jn
+    big = train_pq(emb, cents, ncodes=32)
+    plan = _df_plan(pq_encode(assigned, cents, big))
+    assert "BroadcastHashJoin" in plan
