@@ -43,6 +43,8 @@ HEADLINE = [
     "similarity_pq_topk",
     "window_distribution_scalable",
     "dedup_cross_split_contamination",
+    # round-4 addition: the real-codec Arrow decode path
+    "multimodal_ppm_decode",
 ]
 
 

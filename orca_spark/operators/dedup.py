@@ -62,6 +62,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_safe",
+    oracle="""
+        SELECT min(doc_id) AS keep_doc_id,
+               count(*)    AS n_copies
+        FROM documents
+        GROUP BY md5(text), length(text)
+    """,
+    description="collision-proofed exact dedup: group on "
+    "(xxhash64, length) — the composite key dedup_exact's docstring "
+    "names for guaranteed-exact grouping at 100 TB doc counts (two "
+    "colliding docs would need equal 64-bit hashes AND equal lengths; "
+    "pair the hash with a second independent hash for cryptographic "
+    "certainty). Shuffle still carries fixed-width keys, not documents",
+)
+def dedup_exact_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.xxhash64("text").alias("h"), F.length("text").alias("l"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+@register(
     "dedup_exact_survivors",
     oracle="""
         SELECT doc_id, lang, source

@@ -1,15 +1,23 @@
 """Approximate aggregates: the 100 TB substitutes for exact distinct /
 percentile. No SQL oracle (engine-specific sketches) — instead assert
-error bounds against the exact answers."""
+error bounds against the exact answers.
 
+Bounds are validated at BOTH test scales — sf0.001 and the driver's
+sf0.01 — so the sketch accuracy claims hold at the scale the
+CORRECTNESS gate actually runs."""
+
+import pytest
 from pyspark.sql import functions as F
 
 from orca_spark.tables import load
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_ORACLE
+
+_SCALES = [SF_DIR, SF_DIR_ORACLE]
 
 
-def test_approx_count_distinct_error_bound(spark):
-    li = load(spark, SF_DIR, "lineitem")
+@pytest.mark.parametrize("sf_dir", _SCALES)
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
     row = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
         F.countDistinct("l_orderkey").alias("exact"),
@@ -17,8 +25,9 @@ def test_approx_count_distinct_error_bound(spark):
     assert abs(row.approx - row.exact) / row.exact < 0.05
 
 
-def test_approx_percentile_close_to_exact(spark):
-    li = load(spark, SF_DIR, "lineitem")
+@pytest.mark.parametrize("sf_dir", _SCALES)
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
     row = li.agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
@@ -26,14 +35,15 @@ def test_approx_percentile_close_to_exact(spark):
     assert abs(row.approx - row.exact) / row.exact < 0.01
 
 
-def test_profile_lineitem_approx_accuracy(spark):
+@pytest.mark.parametrize("sf_dir", _SCALES)
+def test_profile_lineitem_approx_accuracy(spark, sf_dir):
     """The registered sketch profile must track the exact profile within
     the sketches' advertised error (HLL rsd=0.01 → assert 5%; quantile
     accuracy=10000 → assert 1% value error on this distribution)."""
     from orca_spark.operators.profile2 import profile_lineitem_approx
 
-    got = profile_lineitem_approx(spark, SF_DIR).collect()[0]
-    li = load(spark, SF_DIR, "lineitem")
+    got = profile_lineitem_approx(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem")
     exact = li.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("l_orderkey").alias("orderkeys"),

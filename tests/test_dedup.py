@@ -252,3 +252,22 @@ def test_rep_pairs_adaptive_fallback_above_64_vocab(spark):
         for r in _rep_pairs_adaptive(reps, threshold=0.9).collect()
     }
     assert got == {(0, 1)}
+
+
+def test_simhash_pairs_nonempty_on_standard_corpus(spark):
+    """The registered simhash-pairs query ships rows-only to the driver
+    (no oracle is possible for hamming buckets) — pin its behavior
+    locally instead: the standard corpus' planted near-dups must surface
+    as at least one hamming<=3 candidate pair, and every emitted pair's
+    hamming must actually be <=3 when recomputed from the signatures."""
+    from orca_spark.queries import queries
+    from tests.conftest import SF_DIR
+
+    q = queries()
+    pairs = q["dedup_simhash_pairs"](spark, SF_DIR).collect()
+    assert len(pairs) >= 1
+    sigs = {r.doc_id: r.simhash for r in q["dedup_simhash"](spark, SF_DIR).collect()}
+    for r in pairs:
+        # signatures are signed 64-bit longs — mask before popcount
+        ham = bin((sigs[r.doc_a] ^ sigs[r.doc_b]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 3, (r.doc_a, r.doc_b, ham)
