@@ -27,6 +27,7 @@ from orca_spark.operators import (  # noqa: F401
     profile2,
     pandas_ops,
     text4,
+    text5,
 )
 
 # Long-verified tail (green rows in r01-r03).

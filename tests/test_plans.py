@@ -127,7 +127,13 @@ def test_text_pipeline_scans_prune_columns(spark):
 def test_whole_stage_codegen_everywhere_hot(spark):
     """Scalar/text pipelines must stay inside whole-stage codegen (no
     Python row loop in the hot path)."""
-    for name in ["scalar_string_math", "text_token_counts", "text_fingerprint"]:
+    for name in [
+        "scalar_string_math",
+        "text_token_counts",
+        "text_fingerprint",
+        "text_pii_scrub",
+        "documents_quality_filter",
+    ]:
         p = plan_str(spark, name)
         # formatted mode marks codegen'd operators with a '* ' prefix
         assert "* Project" in p or "* HashAggregate" in p, name
