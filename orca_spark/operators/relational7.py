@@ -1,0 +1,211 @@
+"""Relational batch 7: the remaining TPC-H query patterns, adapted to
+the driver schema (no partsupp table, no shipmode/commit-date columns —
+each query keeps the PATTERN that makes its TPC-H original
+interesting and maps it onto the columns that exist).
+
+Plan notes: dims broadcast (nation/supplier/part are constant-size);
+the scalar-subquery thresholds (q11/q20 shapes) compile to a
+one-row broadcast, never a shuffle; the multi-exists (q21 shape) is a
+semi-join + grouped filter, not a correlated per-row probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+        SELECT n_name                                   AS nation,
+               year(o_orderdate)                        AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%a%'
+        GROUP BY 1, 2
+    """,
+    description="TPC-H q9 pattern (product profit by nation and year): "
+    "four-way join fanning a fact against three broadcast dims + the "
+    "orders fact, filtered on a part-name predicate, two-level group — "
+    "adapted to the schema (no partsupp: profit omits supplycost)",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load(spark, sf_dir, "part").where(F.col("p_name").like("%a%")).select("p_partkey")
+    )
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nat = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q11_important_suppliers",
+    oracle="""
+        WITH v AS (
+            SELECT l_suppkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS value
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey AS suppkey, round(value, 2) AS value
+        FROM v
+        WHERE value > (SELECT sum(value) * 0.0102 FROM v)
+    """,
+    description="TPC-H q11 pattern (important stock): per-supplier value "
+    "with a HAVING threshold that is a SCALAR SUBQUERY over the global "
+    "total — the threshold compiles to a one-row broadcast, the per-"
+    "supplier agg shuffles once; adapted to lineitem value (no partsupp)",
+)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("value")
+    )
+    total = v.agg((F.sum("value") * F.lit(0.0102)).alias("thr"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("thr"))
+        .select(F.col("l_suppkey").alias("suppkey"), F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS high_line_count,
+               CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE year(l_shipdate) = 1995
+        GROUP BY l_linestatus
+    """,
+    description="TPC-H q12 pattern (two-level conditional counts over a "
+    "fact-fact join): per-linestatus counts split by order priority "
+    "class for one ship year — the filter reaches the lineitem scan, "
+    "the conditional split is agg-side, one shuffle; adapted to "
+    "orderpriority (no shipmode column)",
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1995)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_part_supply_candidates",
+    oracle="""
+        WITH apart AS (
+            SELECT l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey AS suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM apart
+            WHERE qty > (SELECT avg(qty) FROM apart)
+        )
+    """,
+    description="TPC-H q20 pattern (nested IN + HAVING over a scalar "
+    "subquery): suppliers whose widget-part quantity exceeds the average "
+    "across widget suppliers (scale-invariant threshold) — inner agg "
+    "keyed by suppkey, scalar threshold broadcast, outer membership as "
+    "a left-semi join",
+)
+def q20_part_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")).select("p_partkey")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    apart = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = apart.agg(F.avg("qty").alias("thr"))
+    movers = (
+        apart.crossJoin(F.broadcast(thr))
+        .where(F.col("qty") > F.col("thr"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name")
+    )
+
+
+@register(
+    "q21_multi_supplier_orders",
+    oracle="""
+        WITH multi AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING count(DISTINCT l_suppkey) >= 2
+        )
+        SELECT s_name,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS numwait
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE l_orderkey IN (SELECT l_orderkey FROM multi)
+          AND l_returnflag = 'R'
+        GROUP BY s_name
+    """,
+    description="TPC-H q21 pattern (multi-exists turned into a grouped "
+    "semi-join): per-supplier count of returned-line orders that involve "
+    "at least two suppliers — the EXISTS probes become one grouped "
+    "distinct-count + left-semi join, never a correlated per-row "
+    "subquery; adapted to returnflag (no receipt/commit dates)",
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    flagged = li.where(F.col("l_returnflag") == "R").join(
+        multi, "l_orderkey", "left_semi"
+    )
+    return (
+        flagged.join(supp, flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )

@@ -14,7 +14,7 @@ from orca_spark.registry import REGISTRY, QuerySpec
 # whose scoring was restructured, and events whose sessionize aborted
 # the r03 bench — then the long-verified tail, every member of which
 # has a green driver row from r01-r03).
-from orca_spark.streaming import jobs, jobs2  # noqa: F401
+from orca_spark.streaming import jobs, jobs2, jobs3  # noqa: F401
 from orca_spark.operators import (  # noqa: F401
     multimodal,
     dedup,
@@ -28,6 +28,7 @@ from orca_spark.operators import (  # noqa: F401
     pandas_ops,
     text4,
     text5,
+    relational7,
 )
 
 # Long-verified tail (green rows in r01-r03).
