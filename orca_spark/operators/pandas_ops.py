@@ -60,3 +60,62 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def events_user_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
     return e.groupBy("user_id").applyInPandas(_zscore_group, _OUT_SCHEMA)
+
+
+_COGROUP_SCHEMA = (
+    "user_id bigint, n_events bigint, events_value double,"
+    " n_orders bigint, orders_value double"
+)
+
+
+def _activity_cogroup(key: tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+    # empty side -> count 0, sum NULL (exactly the SQL full-outer
+    # aggregate semantics the oracle expresses)
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]], dtype="int64"),
+            "n_events": pd.Series([len(ev)], dtype="int64"),
+            "events_value": [round(float(ev["value"].sum()), 4) if len(ev) else None],
+            "n_orders": pd.Series([len(od)], dtype="int64"),
+            "orders_value": [
+                round(float(od["o_totalprice"].sum()), 2) if len(od) else None
+            ],
+        }
+    )
+
+
+@register(
+    "events_orders_activity_cogroup",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS events_value
+            FROM events GROUP BY user_id
+        ),
+        o AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS orders_value
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT coalesce(user_id, o_custkey)   AS user_id,
+               coalesce(n_events, 0)          AS n_events,
+               events_value,
+               coalesce(n_orders, 0)          AS n_orders,
+               orders_value
+        FROM e FULL OUTER JOIN o ON user_id = o_custkey
+    """,
+    description="cogrouped Arrow map (groupBy.cogroup.applyInPandas): "
+    "each user's events AND orders arrive as two aligned pandas frames "
+    "in one Python call — the shape for per-key reconciliation logic "
+    "that needs both sides at once (feature joins, account rollups). "
+    "Both sides shuffle once on the key; oracle is the full-outer "
+    "aggregate join, proving the cogroup path value-exact",
+)
+def events_orders_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    od = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("o_custkey"))
+        .applyInPandas(_activity_cogroup, _COGROUP_SCHEMA)
+    )
