@@ -138,3 +138,16 @@ def test_whole_stage_codegen_everywhere_hot(spark):
         # formatted mode marks codegen'd operators with a '* ' prefix
         assert "* Project" in p or "* HashAggregate" in p, name
         assert "BatchEvalPython" not in p, f"{name} fell back to a Python UDF"
+
+
+def test_tpch_pattern_queries_broadcast_dims(spark):
+    """The adapted TPC-H patterns must broadcast their constant-size
+    sides: dims in q9, the scalar thresholds in q11/q20 (a one-row
+    broadcast, never a shuffle-side join), and q21's supplier dim."""
+    for name in ["q9_product_profit", "q11_important_suppliers",
+                 "q20_part_supply_candidates", "q21_multi_supplier_orders"]:
+        p = plan_str(spark, name)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+    # the semi-join forms must stay semi (no row multiplication)
+    assert "LeftSemi" in plan_str(spark, "q20_part_supply_candidates")
+    assert "LeftSemi" in plan_str(spark, "q21_multi_supplier_orders")
