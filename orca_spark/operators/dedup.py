@@ -363,10 +363,14 @@ def connected_components(
             # pointer jump: follow my label's label (labels are doc_ids, so
             # they resolve against the same frame); contracts chains in half
             hop = stepped.select(F.col("doc_id").alias("label"), F.col("label").alias("hop"))
+            # LAZY checkpoint: the convergence-sum collect below is the
+            # round's single action — it materializes AND checkpoints the
+            # labels in one job instead of two (eager=True spent a
+            # second, redundant job per round on the same computation)
             labels = (
                 stepped.join(hop, "label")
                 .select("doc_id", F.least("label", "hop").alias("label"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             cur_sum = labels.agg(F.sum("label")).collect()[0][0]
             if cur_sum == prev_sum:
