@@ -22,20 +22,20 @@ from orca_spark.operators import (  # noqa: F401
     similarity,
     similarity2,
     events,
-    relational4,
-    ranges,
-    profile2,
-    pandas_ops,
-    text4,
     text5,
     relational7,
+    pandas_ops,
+    ranges,
+    profile2,
 )
 
 # Long-verified tail (green rows in r01-r03).
 from orca_spark.operators import (  # noqa: F401
+    relational4,
+    text4,
+    text3,
     io_ops,
     io_ops2,
-    text3,
     relational6,
     relational,
     relational2,
