@@ -62,6 +62,41 @@ def events_user_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(_zscore_group, _OUT_SCHEMA)
 
 
+@register(
+    "events_type_median_pandas_agg",
+    oracle="""
+        SELECT event_type,
+               round(median(value), 4)          AS median_value,
+               round(quantile_cont(value, 0.9), 4) AS p90_value
+        FROM events
+        GROUP BY event_type
+    """,
+    description="pandas_udf GROUPED_AGG (Series -> scalar): exact median "
+    "and p90 per event type via numpy inside an Arrow aggregate UDF — "
+    "the third sanctioned Python shape (after grouped-map and cogroup); "
+    "one shuffle on the group key, one Arrow batch per group. Oracle is "
+    "DuckDB's interpolating median/quantile_cont, proving the numpy "
+    "percentile (linear interpolation) value-exact",
+)
+def events_type_median_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        return round(float(np.percentile(v.to_numpy(), 50)), 4)
+
+    @pandas_udf("double")
+    def p90_udf(v: pd.Series) -> float:
+        return round(float(np.percentile(v.to_numpy(), 90)), 4)
+
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").agg(
+        median_udf("value").alias("median_value"),
+        p90_udf("value").alias("p90_value"),
+    )
+
+
 _COGROUP_SCHEMA = (
     "user_id bigint, n_events bigint, events_value double,"
     " n_orders bigint, orders_value double"

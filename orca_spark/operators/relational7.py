@@ -209,3 +209,38 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
+
+
+@register(
+    "events_props_typed",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k,
+               round(avg(k), 4)       AS avg_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY event_type
+    """,
+    description="typed semi-structured parsing: from_json with an "
+    "explicit struct schema (vs events_json_extract's per-path "
+    "get_json_object) — one parse per row no matter how many fields are "
+    "read, malformed rows surface as NULL structs (counted, not "
+    "dropped); the production shape for wide JSON payloads",
+)
+def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k bigint").alias("p")
+    )
+    k = F.col("p.k")
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_unparsed"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
