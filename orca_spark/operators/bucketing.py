@@ -97,3 +97,35 @@ def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
     )
+
+
+@register(
+    "bucketed_agg_orders",
+    oracle="""
+        SELECT l_orderkey AS o_orderkey,
+               CAST(count(*) AS BIGINT)       AS n_lines,
+               round(sum(l_quantity), 2)      AS qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING count(*) >= 4
+    """,
+    description="aggregation on the bucket key of a pre-bucketed table: "
+    "the groupBy(l_orderkey) runs with NO exchange (bucketing satisfies "
+    "the agg's required distribution, same as the join case) — the "
+    "second query shape bucketed storage amortizes; falls back to the "
+    "plain scan if the catalog can't persist",
+)
+def bucketed_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = bucketed_tables(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem") if pair is None else pair[1]
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .where(F.col("n_lines") >= 4)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"), "n_lines", "qty"
+        )
+    )

@@ -151,3 +151,11 @@ def test_tpch_pattern_queries_broadcast_dims(spark):
     # the semi-join forms must stay semi (no row multiplication)
     assert "LeftSemi" in plan_str(spark, "q20_part_supply_candidates")
     assert "LeftSemi" in plan_str(spark, "q21_multi_supplier_orders")
+
+
+def test_bucketed_agg_has_no_exchange(spark):
+    """groupBy on the bucket key of a bucketed table must not shuffle —
+    the storage layout already satisfies the agg's distribution."""
+    p = plan_str(spark, "bucketed_agg_orders")
+    assert "Bucketed: true" in p
+    assert "hashpartitioning(l_orderkey" not in p
