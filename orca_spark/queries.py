@@ -25,12 +25,13 @@ from orca_spark.operators import (  # noqa: F401
     text5,
     relational7,
     pandas_ops,
-    ranges,
+    bucketing,
     profile2,
 )
 
 # Long-verified tail (green rows in r01-r03).
 from orca_spark.operators import (  # noqa: F401
+    ranges,
     relational4,
     text4,
     text3,
@@ -47,7 +48,6 @@ from orca_spark.operators import (  # noqa: F401
     text2,
     analytics,
     asof,
-    bucketing,
     profile,
 )
 
