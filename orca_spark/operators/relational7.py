@@ -244,3 +244,77 @@ def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.round(F.avg(k), 4).alias("avg_k"),
     )
+
+
+@register(
+    "events_changelog_compact",
+    oracle="""
+        SELECT user_id, event_type, ts AS latest_ts, value AS latest_value
+        FROM (
+            SELECT user_id, event_type, ts, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    description="changelog compaction (SCD1 / upsert-merge semantics): "
+    "keep each (user, event_type) key's latest record by event time — "
+    "one window shuffle on the key, deterministic event_id tie-break; "
+    "the batch form of what the streaming ingest-dedup job does "
+    "incrementally",
+)
+def events_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+        SELECT user_id, event_type,
+               ts                                        AS valid_from,
+               coalesce(lead(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id),
+                        TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) IS NULL AS is_current,
+               value
+        FROM events
+    """,
+    description="SCD2 intervalization: each change record becomes a "
+    "validity interval [ts, next_ts) via lead(), the open-ended current "
+    "version closed with the conventional high date (2200-01-01 — 9999-12-31 overflows Arrow's ns timestamps on collection) plus an "
+    "is_current flag; one window shuffle, the standard "
+    "dimension-history build",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit("2200-01-01 00:00:00").cast("timestamp")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
+        "value",
+    )

@@ -47,6 +47,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
             )
+        elif str(df[c].dtype).startswith("datetime64"):
+            # Spark's toPandas yields ns, DuckDB's df() yields us — same
+            # instants, but assert_frame_equal treats mixed-unit arrays
+            # with NaT as unequal raw ints; unify the resolution
+            df[c] = df[c].astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     # unify integer dtypes (duckdb int32 vs spark int64 for casts we align
