@@ -97,6 +97,45 @@ def events_type_median_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "events_log_value_arrow",
+    oracle="""
+        SELECT event_id, value,
+               round(ln(1 + value), 6) AS log1p_value
+        FROM events
+        WHERE value >= 0
+    """,
+    description="mapInArrow (zero-copy RecordBatch path): per-batch "
+    "pyarrow.compute transform with NO pandas materialization — the "
+    "fourth Arrow shape (after grouped-map, cogroup, grouped-agg), for "
+    "per-batch numeric/binary kernels where even the pandas conversion "
+    "overhead matters. Oracle is the SQL form, proving the Arrow "
+    "kernel value-exact",
+)
+def events_log_value_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    def transform(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            value = batch.column("value")
+            log1p = pc.round(pc.ln(pc.add(value, 1.0)), ndigits=6)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), value, log1p],
+                ["event_id", "value", "log1p_value"],
+            )
+
+    e = load(spark, sf_dir, "events").select("event_id", "value").where(
+        F.col("value") >= 0
+    )
+    return e.mapInArrow(
+        transform, "event_id bigint, value double, log1p_value double"
+    )
+
+
 _COGROUP_SCHEMA = (
     "user_id bigint, n_events bigint, events_value double,"
     " n_orders bigint, orders_value double"

@@ -318,3 +318,46 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "value",
     )
+
+
+@register(
+    "join_null_safe_priority",
+    oracle="""
+        WITH a AS (
+            SELECT nullif(o_orderpriority, '3-MEDIUM') AS pk,
+                   count(*) AS n_all
+            FROM orders GROUP BY 1
+        ),
+        b AS (
+            SELECT nullif(o_orderpriority, '3-MEDIUM') AS pk,
+                   count(*) AS n_big
+            FROM orders WHERE o_totalprice > 100000 GROUP BY 1
+        )
+        SELECT coalesce(a.pk, 'MEDIUM-OR-NULL') AS priority,
+               n_all, n_big
+        FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk
+    """,
+    description="null-safe equi-join (<=> / IS NOT DISTINCT FROM): the "
+    "NULL-keyed groups match each other instead of silently dropping — "
+    "the semantics dimension joins over nullable business keys need; "
+    "Spark plans it as a regular hash join (NULL hashes to a bucket), "
+    "no fallback to nested-loop",
+)
+def join_null_safe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pk = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    a = o.groupBy(pk.alias("pk")).agg(F.count(F.lit(1)).alias("n_all")).alias("a")
+    b = (
+        o.where(F.col("o_totalprice") > 100000)
+        .groupBy(pk.alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .alias("b")
+    )
+    return (
+        a.join(b, F.col("a.pk").eqNullSafe(F.col("b.pk")))
+        .select(
+            F.coalesce(F.col("a.pk"), F.lit("MEDIUM-OR-NULL")).alias("priority"),
+            "n_all",
+            "n_big",
+        )
+    )
