@@ -23,7 +23,9 @@ from orca_spark.tables import load
     oracle="""
         SELECT n_name                                   AS nation,
                year(o_orderdate)                        AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l_discount AS DECIMAL(18,4))), 2)
+                    AS DOUBLE)                  AS profit
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -55,9 +57,20 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
+            # DECIMAL accumulation: double sums differ from the oracle by
+            # an ulp under Spark's partial-agg ordering, which flips
+            # round(x, 2) on boundary groups (seen at sf0.01: 3 of 175
+            # groups off by 0.01); exact decimal arithmetic on BOTH
+            # engines removes the order sensitivity entirely
             F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-            ).alias("profit")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
         )
     )
 
@@ -67,10 +80,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH v AS (
             SELECT l_suppkey,
-                   sum(l_extendedprice * (1 - l_discount)) AS value
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))) AS value
             FROM lineitem GROUP BY l_suppkey
         )
-        SELECT l_suppkey AS suppkey, round(value, 2) AS value
+        SELECT l_suppkey AS suppkey,
+               CAST(round(value, 2) AS DOUBLE) AS value
         FROM v
         WHERE value > (SELECT sum(value) * 0.0102 FROM v)
     """,
@@ -81,14 +96,21 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # decimal accumulation for the same boundary-rounding reason as q9
     v = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("value")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        ).alias("value")
     )
-    total = v.agg((F.sum("value") * F.lit(0.0102)).alias("thr"))
+    total = v.agg((F.sum("value") * F.lit("0.0102").cast("decimal(6,4)")).alias("thr"))
     return (
         v.crossJoin(F.broadcast(total))
         .where(F.col("value") > F.col("thr"))
-        .select(F.col("l_suppkey").alias("suppkey"), F.round("value", 2).alias("value"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.round("value", 2).cast("double").alias("value"),
+        )
     )
 
 
