@@ -34,12 +34,14 @@ _OUT_SCHEMA = "user_id bigint, event_id bigint, value double, zscore double"
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # ddof=1 (sample stddev) matches SQL stddev_samp; a single-event
-    # group gets NaN -> emitted as NULL, same as SQL
+    # group gets NaN -> emitted as NULL, same as SQL. Raw z here —
+    # rounding happens outside via F.round (HALF_UP like SQL; pandas
+    # .round is half-even and flips on boundary values)
     mean = pdf["value"].mean()
     std = pdf["value"].std(ddof=1)
     z = (pdf["value"] - mean) / std if std and std == std and std > 0.0 else None
     out = pdf[["user_id", "event_id", "value"]].copy()
-    out["zscore"] = None if z is None else z.round(4)
+    out["zscore"] = None if z is None else z
     return out
 
 
@@ -59,7 +61,8 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def events_user_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    return e.groupBy("user_id").applyInPandas(_zscore_group, _OUT_SCHEMA)
+    raw = e.groupBy("user_id").applyInPandas(_zscore_group, _OUT_SCHEMA)
+    return raw.withColumn("zscore", F.round("zscore", 4))
 
 
 @register(
@@ -84,16 +87,18 @@ def events_type_median_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame
 
     @pandas_udf("double")
     def median_udf(v: pd.Series) -> float:
-        return round(float(np.percentile(v.to_numpy(), 50)), 4)
+        return float(np.percentile(v.to_numpy(), 50))
 
     @pandas_udf("double")
     def p90_udf(v: pd.Series) -> float:
-        return round(float(np.percentile(v.to_numpy(), 90)), 4)
+        return float(np.percentile(v.to_numpy(), 90))
 
+    # round OUTSIDE Python (F.round is HALF_UP like SQL; Python's
+    # round() is half-even and flips on boundary values)
     e = load(spark, sf_dir, "events").select("event_type", "value")
     return e.groupBy("event_type").agg(
-        median_udf("value").alias("median_value"),
-        p90_udf("value").alias("p90_value"),
+        F.round(median_udf("value"), 4).alias("median_value"),
+        F.round(p90_udf("value"), 4).alias("p90_value"),
     )
 
 
@@ -149,10 +154,13 @@ def _activity_cogroup(key: tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.Data
         {
             "user_id": pd.Series([key[0]], dtype="int64"),
             "n_events": pd.Series([len(ev)], dtype="int64"),
-            "events_value": [round(float(ev["value"].sum()), 4) if len(ev) else None],
+            # raw sums — rounding happens OUTSIDE Python via F.round
+            # (HALF_UP, matching SQL) because Python's round() is
+            # round-half-even and flips on boundary values
+            "events_value": [float(ev["value"].sum()) if len(ev) else None],
             "n_orders": pd.Series([len(od)], dtype="int64"),
             "orders_value": [
-                round(float(od["o_totalprice"].sum()), 2) if len(od) else None
+                float(od["o_totalprice"].sum()) if len(od) else None
             ],
         }
     )
@@ -188,8 +196,15 @@ def _activity_cogroup(key: tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.Data
 def events_orders_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "value")
     od = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    return (
+    raw = (
         ev.groupBy("user_id")
         .cogroup(od.groupBy("o_custkey"))
         .applyInPandas(_activity_cogroup, _COGROUP_SCHEMA)
+    )
+    return raw.select(
+        "user_id",
+        "n_events",
+        F.round("events_value", 4).alias("events_value"),
+        "n_orders",
+        F.round("orders_value", 2).alias("orders_value"),
     )
