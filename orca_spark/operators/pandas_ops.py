@@ -127,7 +127,13 @@ def events_log_value_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for batch in batches:
             value = batch.column("value")
-            log1p = pc.round(pc.ln(pc.add(value, 1.0)), ndigits=6)
+            # half_away_from_zero matches SQL round (pyarrow's default
+            # is half_to_even, which flips on boundary values)
+            log1p = pc.round(
+                pc.ln(pc.add(value, 1.0)),
+                ndigits=6,
+                round_mode="half_away_from_zero",
+            )
             yield pa.RecordBatch.from_arrays(
                 [batch.column("event_id"), value, log1p],
                 ["event_id", "value", "log1p_value"],
