@@ -132,7 +132,7 @@ def events_log_value_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             log1p = pc.round(
                 pc.ln(pc.add(value, 1.0)),
                 ndigits=6,
-                round_mode="half_away_from_zero",
+                round_mode="half_towards_infinity",
             )
             yield pa.RecordBatch.from_arrays(
                 [batch.column("event_id"), value, log1p],
