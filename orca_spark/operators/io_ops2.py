@@ -154,3 +154,39 @@ def text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc"),
         F.max("doc_id").cast("long").alias("max_doc"),
     )
+
+
+@register(
+    "xml_source_roundtrip",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT)           AS n_docs,
+               CAST(sum(n_chars) AS BIGINT)       AS total_chars,
+               CAST(max(doc_id) AS BIGINT)        AS max_doc
+        FROM documents
+        GROUP BY lang
+    """,
+    description="XML source round-trip (Spark 4 built-in xml format): "
+    "documents written as <doc> elements, read back with rowTag "
+    "schema inference, aggregated per lang — covers the remaining "
+    "semi-structured ingestion format (after CSV/JSON/ORC/text); the "
+    "matching aggregate proves the round-trip lossless",
+)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_spark.operators.io_ops import scratch_path
+
+    path = scratch_path("xml_docs", sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    (
+        docs.write.mode("overwrite")
+        .option("rootTag", "corpus")
+        .option("rowTag", "doc")
+        .format("xml")
+        .save(path)
+    )
+    back = spark.read.option("rowTag", "doc").format("xml").load(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )

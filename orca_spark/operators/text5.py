@@ -182,3 +182,40 @@ def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("has_marker")
     )
     return sig.select("doc_id", reasons.alias("drop_reasons"), keep.alias("keep"))
+
+
+@register(
+    "text_tokens_udtf",
+    oracle="""
+        SELECT doc_id, t.w AS token, t.i AS token_idx
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk) + 1),
+                          j -> {'w': tk[j], 'i': CAST(j - 1 AS INT)})) AS t
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        )
+    """,
+    description="Python UDTF (user-defined TABLE function, Spark 3.5+): "
+    "each document lateral-expands into (token, index) rows through a "
+    "generator-style class UDTF — the row-producing Python shape that "
+    "complements the Arrow column paths; oracle is the equivalent "
+    "posexplode, proving the UDTF expansion value-exact. For pure "
+    "tokenization the codegen'd posexplode is the production choice — "
+    "the UDTF shape is for expansions with real Python logic per row",
+)
+def text_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, token_idx int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    spark.udtf.register("orca_tokenize", Tokenize)
+    docs = load(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("orca_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.token, t.token_idx "
+        "FROM orca_udtf_docs, LATERAL orca_tokenize(text) t"
+    )
