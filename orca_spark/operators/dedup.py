@@ -139,10 +139,11 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     near-dup candidacy instead of silently dropping out.
     """
     # the source parquet arrives as ONE split at test scale and the
-    # shingle hash is the expensive per-row compute — run it wide (at
-    # 100 TB the scan has thousands of splits and this repartition is a
-    # cheap insurance against row-group-bound parallelism)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # shingle hash is the expensive per-row compute — run it wide;
+    # widen() is a no-op when the scan already has enough splits
+    from orca_spark.tables import widen
+
+    df = widen(df)
     toks = F.split(F.col("text"), " ")
     d = df.withColumn("_tk", toks)
     idx = F.sequence(F.lit(1), F.size(F.col("_tk")) - (n - 1))
@@ -586,8 +587,10 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     Expressions assembled as SQL strings (one F.expr per vote aggregate)
     — see _signatures_from_shingles for the py4j rationale."""
     # single-split source → run the token explode + hash wide (see
-    # _shingles for the rationale)
-    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    # _shingles for the rationale); no-op when already wide
+    from orca_spark.tables import widen
+
+    d = widen(d)
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     # per-bit vote: +1 when bit set, -1 otherwise; sign of the sum is the bit
     votes = [

@@ -151,17 +151,39 @@ def _parse_ppm_header(data: bytes) -> tuple[int, int, int, int]:
                 i += 1
             continue
         j = i
-        while j < n and not data[j : j + 1].isspace():
+        # a token ends at whitespace or at a directly-appended comment
+        while j < n and not data[j : j + 1].isspace() and data[j : j + 1] != b"#":
             j += 1
         if j == i:
             raise ValueError("truncated PPM header")
         fields.append(int(data[i:j]))
         i = j
-    # exactly ONE whitespace byte separates maxval from pixel data
-    i += 1
     width, height, maxval = fields
-    if not (0 < maxval < 65536):
-        raise ValueError(f"bad maxval {maxval}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if not (0 < maxval < 256):
+        # 2-byte-sample PPMs (maxval 256-65535) are spec-valid but this
+        # decoder reads 1 byte per sample — reject rather than silently
+        # decode the interleaved high/low bytes as pixels
+        raise ValueError(f"unsupported maxval {maxval} (8-bit samples only)")
+    # The first whitespace after the header IS the raster delimiter —
+    # never look past it (a raster whose first byte happens to be 0x23
+    # '#' must not be eaten as a comment). Comments are only recognized
+    # when they directly follow the maxval digits, their terminating
+    # newline serving as the delimiter.
+    while True:
+        c = data[i : i + 1]
+        if c == b"#":
+            while i < n and data[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+            i += 1  # the comment's newline delimits the raster ...
+            if data[i : i + 1] == b"#":  # ... unless another comment follows
+                continue
+            break
+        if c.isspace():
+            i += 1
+            break
+        raise ValueError("missing raster delimiter after maxval")
     if n - i < width * height * 3:
         raise ValueError("truncated PPM pixel data")
     return width, height, maxval, i

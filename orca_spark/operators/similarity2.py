@@ -77,13 +77,11 @@ def ivf_near_dup_pairs(
     # useless (p99.9 reconstruction error 0.36 vs the 0.4 threshold ⇒ a
     # sound margin keeps everything). On real clustered embeddings the
     # same plan prunes ~k-fold; the plan shape is the 100 TB shape.
+    from orca_spark.tables import widen
+
     assigned = (
         _with_norm(
-            ivf_assign(
-                emb.repartition(emb.sparkSession.sparkContext.defaultParallelism),
-                cents,
-                nprobe=nprobe,
-            ),
+            ivf_assign(widen(emb), cents, nprobe=nprobe),
             "n",
         )
         .select("vec_id", "e", "n", "clusters")
@@ -416,13 +414,13 @@ def pq_topk_df(
     # Repartition first: the source parquet arrives as ONE split at test
     # scale, and the encode argmin is the expensive per-row expression —
     # it must run wide, not on a single core.
+    from orca_spark.tables import widen
+
     corpus = (
         pq_encode(
-            ivf_assign(
-                emb.repartition(spark.sparkContext.defaultParallelism),
-                cents,
-                nprobe=1,
-            ).select("vec_id", "e", F.element_at("clusters", 1).alias("cluster")),
+            ivf_assign(widen(emb), cents, nprobe=1).select(
+                "vec_id", "e", F.element_at("clusters", 1).alias("cluster")
+            ),
             cents,
             books,
         )

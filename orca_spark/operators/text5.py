@@ -64,17 +64,18 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tk.select(
         "doc_id", n.cast("long").alias("n_tokens"), dup.alias("dup_token_frac")
     )
-    grams = tk.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("t", i), F.element_at("t", i + 1)
-                ),
-            )
-        ).alias("g"),
-    )
+    # guard the window: sequence(1, 0) would produce [1, 0] (step -1)
+    # and index past a 1-token array — single-token docs have no bigrams
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tk.select("doc_id", F.explode(bigrams).alias("g"))
     gstats = (
         grams.groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -209,6 +210,8 @@ def text_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token string, token_idx int")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:  # NULL text -> no rows, like string_split
+                return
             for i, w in enumerate(text.split(" ")):
                 yield w, i
 

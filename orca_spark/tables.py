@@ -75,3 +75,15 @@ def invalidate(sf_dir: str | None = None) -> None:
         return
     for key in [k for k in _RELATION_CACHE if k[1] == sf_dir]:
         del _RELATION_CACHE[key]
+
+
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition to executor width ONLY when the input has fewer
+    partitions (single-row-group files at test scale). At cluster scale
+    a scan already has thousands of splits — an unconditional
+    repartition there would shuffle the whole table just to REDUCE
+    parallelism to the core count."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

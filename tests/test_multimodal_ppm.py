@@ -58,3 +58,32 @@ def test_ppm_roundtrip_through_mapinpandas(spark):
         assert (r.width, r.height, r.n_channels) == (w, h, 3)
         assert abs(r.feature_mean - mean) < 1e-12
         assert r.n_bytes == len(rows[doc_id][1])
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"P6\n2 2\n65535\n" + bytes(24),    # 16-bit samples unsupported
+        b"P6\n0 0\n255\n",                  # zero dimensions
+        b"P6\n-1 2\n255\n" + bytes(12),     # negative width
+    ],
+)
+def test_ppm_header_parse_rejects_unsupported(data):
+    with pytest.raises(ValueError):
+        _parse_ppm_header(data)
+
+
+def test_ppm_comment_between_maxval_and_raster():
+    """Spec-legal comment before the raster delimiter must not be
+    consumed as pixel data."""
+    px = bytes(range(12))
+    data = b"P6\n2 2\n255#trailing comment\n" + px
+    w, h, maxval, off = _parse_ppm_header(data)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert data[off : off + 12] == px
+    # a raster whose first byte is 0x23 ('#') must NOT be eaten as a
+    # comment once the delimiter has been consumed
+    hash_px = b"#" + bytes(range(11))
+    data2 = b"P6\n2 2\n255\n" + hash_px
+    _, _, _, off2 = _parse_ppm_header(data2)
+    assert data2[off2 : off2 + 12] == hash_px
