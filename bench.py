@@ -89,7 +89,7 @@ def main() -> None:
                 # effects (ORC writes, index training) escaped the clock;
                 # per ADVICE r1 the clock now starts BEFORE construction —
                 # r01-vs-r02 per-query deltas include that honesty fix
-                "timing_note": "t0 precedes plan construction since r02. r04: host load on this shared box adds up to +/-50% per run (q1 spans 1.2-1.9s across runs with identical plans); quiet-run medians after this round's plan work: pq_topk ~5 (r02 7.9), connected_components ~4.8 (r02 5.6), minhash ~2.8 isolated (in-tail numbers inflated by session GC pressure)",
+                "timing_note": "t0 precedes plan construction since r02. r04: host load on this shared box adds up to +/-50% per run (q1 spans 1.2-1.9s across runs with identical plans); quiet-run medians after this round's plan work: pq_topk ~5 (r02 7.9), connected_components ~4.8 (r02 5.6), minhash ~2.8 steady (its first run pays ~2.7s of one-time whole-stage-codegen JIT for the 64-permutation aggregate — measured 5.6s then 2.8s back-to-back in one session)",
             }
         )
     )
