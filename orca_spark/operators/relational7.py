@@ -383,3 +383,35 @@ def join_null_safe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_big",
         )
     )
+
+
+@register(
+    "stats_regression_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price,
+               round(regr_slope(l_extendedprice, l_quantity), 4)  AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6)     AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="statistical aggregate family: correlation, sample "
+    "covariance and the regr_* linear-regression aggregates per return "
+    "flag — all single-pass partial-aggregable moments (one shuffle, "
+    "map-side combine), the in-engine alternative to exporting samples "
+    "for scipy",
+)
+def stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 4).alias("covar_qty_price"),
+        F.round(F.regr_slope(p, q), 4).alias("slope"),
+        F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+        F.round(F.regr_r2(p, q), 6).alias("r2"),
+        F.regr_count(p, q).cast("long").alias("n"),
+    )
