@@ -53,7 +53,7 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Build the canonical multimodal row shape:
     (id, payload binary, meta struct<mime,n_bytes>)."""
     payload = F.encode(text_col, "UTF-8")
-    return df.select(
+    return df.where(F.col(text_col).isNotNull()).select(
         "doc_id",
         payload.alias("payload"),
         F.struct(
@@ -71,6 +71,7 @@ def decode_image_stub(batch: pd.DataFrame) -> pd.DataFrame:
     schema are the production contract. The stub derives deterministic
     fake dimensions from payload length so tests can assert plumbing.
     """
+    batch = batch[batch["payload"].notna()]
     n = batch["payload"].map(len)
     return pd.DataFrame(
         {
@@ -197,6 +198,8 @@ def decode_ppm(batch: pd.DataFrame) -> pd.DataFrame:
 
     ids, nbytes, ws, hs, cs, means = [], [], [], [], [], []
     for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+        if payload is None:  # missing object -> no decoded row
+            continue
         data = bytes(payload)
         w, h, maxval, off = _parse_ppm_header(data)
         px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=off)
@@ -238,6 +241,7 @@ def decode_ppm_images(df: DataFrame) -> DataFrame:
                        + (strpos('0123456789abcdef', substr(md5(text), i*2+2, 1)) - 1)
                    ) AS px
             FROM documents
+            WHERE text IS NOT NULL
         )
         SELECT doc_id,
                CAST(23 AS BIGINT)                              AS n_bytes,
@@ -261,7 +265,7 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8"),
         F.expr("substring(unhex(md5(text)), 1, 12)"),
     )
-    src = d.select("doc_id", payload.alias("payload"))
+    src = d.where(F.col("text").isNotNull()).select("doc_id", payload.alias("payload"))
     decoded = decode_ppm_images(src)
     return decoded.withColumn("feature_mean", F.round("feature_mean", 6))
 
@@ -276,6 +280,7 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                3                                                             AS n_channels,
                round((octet_length(encode(text)) % 255.0) / 255.0, 6)        AS feature_mean
         FROM documents
+        WHERE text IS NOT NULL
     """,
     description="multimodal decode pipeline: binary payload → mapInPandas "
     "(Arrow) → typed features; decode body is a deterministic stub, "

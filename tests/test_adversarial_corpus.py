@@ -1,0 +1,85 @@
+"""Adversarial-corpus smoke test: every documents-driven query must be
+TOTAL over degenerate inputs — empty text, single tokens, NULL text,
+whitespace runs, unicode, huge tokens. The single-token bigram crash
+found in review is exactly this class; this harness pins the whole
+class for every current and future documents query."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from orca_spark.queries import queries
+
+_NASTY_TEXTS = [
+    "",                       # empty string -> [''] token
+    "solo",                   # single token (no bigrams)
+    " ",                      # whitespace only -> ['', '']
+    "a  b",                   # double space -> empty middle token
+    None,                     # NULL text
+    "tok " * 5000,            # long repetitive doc (trailing space token)
+    "héllo wörld 既存 データ",   # unicode
+    "x" * 10000,              # one huge token
+    "the quick brown fox jumps over the lazy dog " * 3,
+]
+
+# documents-only queries (their sf_dir needs just documents.parquet)
+_DOC_QUERIES = [
+    "dedup_exact",
+    "dedup_exact_safe",
+    "dedup_exact_survivors",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_exact",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_cross_split_contamination",
+    "text_token_counts",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_word_frequencies",
+    "text_lang_stopword_ratio",
+    "text_winnowing_fingerprints",
+    "text_chunk_windows",
+    "text_greedy_pack",
+    "text_repetition_signals",
+    "text_pii_scrub",
+    "text_tokens_udtf",
+    "documents_quality_filter",
+    "documents_train_val_test",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "multimodal_ppm_decode",
+    "multimodal_decode_features",
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nasty_sf")
+    rows = {
+        "doc_id": list(range(len(_NASTY_TEXTS))),
+        "text": _NASTY_TEXTS,
+        "lang": ["en"] * len(_NASTY_TEXTS),
+        "source": ["src0"] * len(_NASTY_TEXTS),
+        "n_chars": [len(t) if t else 0 for t in _NASTY_TEXTS],
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "text": pa.array(rows["text"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "source": pa.array(rows["source"], pa.string()),
+            "n_chars": pa.array(rows["n_chars"], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES)
+def test_query_total_over_degenerate_documents(spark, nasty_dir, name):
+    df = queries()[name](spark, nasty_dir)
+    assert df.count() >= 0  # must not raise, whatever it returns
