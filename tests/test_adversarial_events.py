@@ -1,0 +1,74 @@
+"""Adversarial events corpus: every events-driven query (batch AND
+streaming) must be total over NULL timestamps, NULL keys, malformed
+JSON props, and extreme values — the field conditions of any real
+event stream. Companion to test_adversarial_corpus.py."""
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from orca_spark.queries import queries
+
+
+def _ts(y, m, d, h=0):
+    return datetime.datetime(y, m, d, h)
+
+
+_ROWS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (1, _ts(2024, 1, 1, 10), 1, "click", 1.5, '{"k": 3}'),
+    (2, _ts(2024, 1, 1, 10), 1, "purchase", 2.5, '{"k": 4}'),
+    (3, None, 2, "click", 1.0, '{"k": 1}'),            # NULL event time
+    (4, _ts(2024, 1, 1, 11), None, "view", 0.5, "{bad json"),  # NULL key, bad JSON
+    (5, _ts(2024, 1, 1, 12), 3, None, -7.25, ""),      # NULL type, negative value
+    (6, _ts(2024, 1, 2, 0), 3, "error", None, None),   # NULL value, NULL props
+    (7, _ts(1970, 1, 1, 0), 4, "click", 1e12, '{"k": 0}'),     # epoch 0, huge value
+    (8, _ts(2200, 1, 1, 0), 4, "purchase", 0.0, '{"j": 9}'),   # far future, wrong key
+    (9, _ts(2024, 1, 1, 10), 1, "click", 1.5, '{"k": 3}'),     # dup of event 1 fields
+]
+
+_EVENT_QUERIES = [
+    "events_hourly_rollup",
+    "events_tumbling_15min",
+    "events_json_extract",
+    "events_sessionize",
+    "events_pivot_types",
+    "events_changelog_compact",
+    "events_scd2_intervals",
+    "events_props_typed",
+    "events_user_zscore_pandas",
+    "events_type_median_pandas_agg",
+    "events_log_value_arrow",
+    "streaming_hourly_counts",
+    "streaming_session_window",
+    "streaming_stateful_user_totals",
+    "streaming_dedup_user_event_types",
+    "streaming_click_purchase_attribution",
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nasty_events_sf")
+    cols = list(zip(*_ROWS))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _EVENT_QUERIES)
+def test_query_total_over_degenerate_events(spark, nasty_events_dir, name):
+    df = queries()[name](spark, nasty_events_dir)
+    assert df.count() >= 0  # must not raise
