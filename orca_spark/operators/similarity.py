@@ -94,7 +94,9 @@ def dot(a, b, dim: int | None = _DIM) -> Column:
 def _guard_width(expr_sql: str, cols: list[str], dim: int) -> str:
     """Wrap an expanded dot chain in a width assertion (SQL-string form)."""
     cond = " and ".join(f"size({c}) = {dim}" for c in cols)
-    sizes = ", ".join(f"' ', size({c})" for c in cols)
+    # coalesce each size: concat(NULL) would make the error MESSAGE null
+    # (a NULL array reports 'got -1/null', not a blank exception)
+    sizes = ", ".join(f"' ', coalesce(cast(size({c}) as string), 'null')" for c in cols)
     return (
         f"(case when {cond} then {expr_sql} else "
         f"raise_error(concat('dot(): expected array width {dim}, got',{sizes})) end)"
@@ -105,7 +107,7 @@ def _raise_width(dim: int, col) -> Column:
     return F.raise_error(
         F.concat(
             F.lit(f"dot(): expected array width {dim}, got "),
-            F.size(col).cast("string"),
+            F.coalesce(F.size(col).cast("string"), F.lit("null")),
         )
     )
 
@@ -118,6 +120,19 @@ def _with_norm(df: DataFrame, out: str) -> DataFrame:
     """Attach the L2 norm once per vector: pair queries then do ONE dot
     per pair instead of three (the two self-dots hoist out of the join)."""
     return df.withColumn(out, F.sqrt(dot("e", "e")))
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """Load the embeddings table with NULL vectors dropped and the
+    vector upcast to double as ``e``.
+
+    Contract: a missing (NULL) embedding is EXCLUDED — real corpora
+    always have vectorization gaps and a null row must not abort a
+    corpus-wide dedup; a WRONG-WIDTH embedding still raises through the
+    dot() width guards (silently-wrong similarity scores are worse than
+    a loud failure). Extra columns pass through by name."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    return emb.select("vec_id", _as_double(F.col("embedding")).alias("e"), *cols)
 
 
 def brute_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFrame:
@@ -149,8 +164,8 @@ def brute_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFr
     "similarity_brute_topk",
     oracle=f"""
         WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                   FROM embeddings WHERE vec_id < {_N_QUERIES}),
-        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_N_QUERIES}),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
         scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    round(list_dot_product(q.e, c.e)
@@ -171,9 +186,7 @@ def brute_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFr
     "broadcast queries × streamed corpus, window rank per query",
 )
 def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
+    emb = load_embeddings(spark, sf_dir)
     return brute_topk_df(emb, emb.where(F.col("vec_id") < _N_QUERIES))
 
 
@@ -184,13 +197,12 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                            CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
         FROM embeddings
+        WHERE embedding IS NOT NULL
     """,
     description="per-vector L2 norm (narrow map, no shuffle)",
 )
 def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
-    )
+    emb = load_embeddings(spark, sf_dir, "label")
     return emb.select("vec_id", "label", F.round(F.sqrt(dot("e", "e")), 4).alias("l2_norm"))
 
 
@@ -198,7 +210,7 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_pairs",
     oracle="""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         scored AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    list_dot_product(a.v, b.v)
@@ -217,9 +229,7 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(
-        load(spark, sf_dir, "embeddings").select(
-            "vec_id", _as_double(F.col("embedding")).alias("e")
-        ),
+        load_embeddings(spark, sf_dir),
         "n",
     )
     # the nested-loop expansion inherits the stream side's input splits;
@@ -246,7 +256,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle="""
         WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         dims AS (
             SELECT label, i, avg(v[i]) AS c
             FROM e, generate_series(1, 64) AS t(i)
@@ -262,9 +272,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean → norm (the cluster-quality statistic for IVF-style indexing)",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "label", _as_double(F.col("embedding")).alias("e")
-    )
+    emb = load_embeddings(spark, sf_dir, "label")
     dims = emb.select("label", F.posexplode("e").alias("i", "x"))
     cent = dims.groupBy("label", "i").agg(F.avg("x").alias("c"))
     return cent.groupBy("label").agg(
@@ -313,7 +321,7 @@ def annotate_lexical_jaccard(sem: DataFrame, docs: DataFrame) -> DataFrame:
 @register(
     "semantic_vs_lexical_dedup",
     oracle="""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         sem AS (
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    list_dot_product(a.v, b.v)
@@ -348,9 +356,7 @@ def annotate_lexical_jaccard(sem: DataFrame, docs: DataFrame) -> DataFrame:
 )
 def semantic_vs_lexical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(
-        load(spark, sf_dir, "embeddings").select(
-            "vec_id", _as_double(F.col("embedding")).alias("e")
-        ),
+        load_embeddings(spark, sf_dir),
         "n",
     )
     # spread the nested-loop stream side (same rationale as
@@ -615,9 +621,7 @@ def _label_centroids(emb: DataFrame) -> DataFrame:
     "~nprobe/n_clusters of the corpus",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e"), "label"
-    )
+    emb = load_embeddings(spark, sf_dir, "label")
     return ivf_topk_df(
         emb, emb.where(F.col("vec_id") < _N_QUERIES), nprobe=2, cache_key=sf_dir
     )
@@ -671,9 +675,7 @@ def lsh_bucket(col, dim: int = 64) -> Column:
     "top-k within multi-probed buckets (candidate set ~ 9n/256 per query)",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
+    emb = load_embeddings(spark, sf_dir)
     return lsh_topk_df(emb, emb.where(F.col("vec_id") < _N_QUERIES))
 
 

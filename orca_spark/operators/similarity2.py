@@ -39,6 +39,7 @@ from orca_spark.operators.similarity import (
     dot,
     ivf_assign,
     kmeans_centroids,
+    load_embeddings,
 )
 from orca_spark.registry import register
 from orca_spark.tables import load
@@ -135,10 +136,8 @@ def ivf_near_dup_pairs(
     "exact baseline on the test corpus (floor asserted in tests)",
 )
 def embedding_near_dup_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e"), "label"
-    )
-    return ivf_near_dup_pairs(emb.select("vec_id", "e", "label"), cache_key=sf_dir)
+    emb = load_embeddings(spark, sf_dir, "label")
+    return ivf_near_dup_pairs(emb, cache_key=sf_dir)
 
 
 @register(
@@ -155,9 +154,7 @@ def embedding_near_dup_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_vs_lexical_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_spark.operators.similarity import annotate_lexical_jaccard
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
+    emb = load_embeddings(spark, sf_dir)
     # the candidate set is tiny (near-dup pairs) but feeds THREE joins in
     # the annotation — materialize it once or the whole IVF pipeline
     # (assignment, bucket join, exact verify) re-executes per branch
@@ -500,9 +497,7 @@ def pq_topk_df(
     "a fixed shortlist per query, not the probe set",
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e"), "label"
-    )
+    emb = load_embeddings(spark, sf_dir, "label")
     return pq_topk_df(
         emb, emb.where(F.col("vec_id") < _N_QUERIES), nprobe=2, cache_key=sf_dir
     )
