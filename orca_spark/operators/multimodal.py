@@ -71,7 +71,7 @@ def decode_image_stub(batch: pd.DataFrame) -> pd.DataFrame:
     schema are the production contract. The stub derives deterministic
     fake dimensions from payload length so tests can assert plumbing.
     """
-    batch = batch[batch["payload"].notna()]
+    batch = batch[batch["payload"].notna()].reset_index(drop=True)
     n = batch["payload"].map(len)
     return pd.DataFrame(
         {
@@ -109,6 +109,7 @@ def decode_images(df: DataFrame) -> DataFrame:
             SELECT doc_id, text,
                    unnest(range(0, CAST(floor((length(text) - 1) / 64) AS BIGINT) + 1)) AS i
             FROM documents
+            WHERE length(text) > 0
         )
     """,
     description="frame sampling for video-like payloads: payload split "
@@ -117,7 +118,9 @@ def decode_images(df: DataFrame) -> DataFrame:
     "(doc_id, frame_idx, bytes) shape via mapInPandas",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # empty docs have no frames: without the filter sequence(0, -1)
+    # infers step -1 and emits phantom frame indices [0, -1]
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
     n_frames = F.floor((F.length("text") - 1) / 64).cast("int")
     idx = F.sequence(F.lit(0), n_frames)
     frames = d.select("doc_id", "text", F.explode(idx).alias("frame_idx"))

@@ -424,26 +424,31 @@ def stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_size IN (1, 2, 3, 4, 5)
+          AND l_suppkey IS NOT NULL
           AND l_suppkey NOT IN (
-              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              SELECT s_suppkey FROM supplier
+              WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL
           )
         GROUP BY p_brand, p_size
     """,
     description="TPC-H q16 pattern (NOT IN exclusion + grouped distinct "
     "count): distinct suppliers per (brand, size) for small parts, "
-    "excluding complaint suppliers — the NOT IN compiles to a broadcast "
-    "anti-join (null-aware), the distinct count to a two-phase expand "
-    "aggregate; adapted to acctbal (no comment column)",
+    "excluding complaint suppliers — NULL keys are filtered explicitly "
+    "on both sides so NOT IN's null-aware UNKNOWN semantics and the "
+    "anti-join agree by construction; the distinct count is a two-phase "
+    "expand aggregate; adapted to acctbal (no comment column)",
 )
 def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_suppkey").isNotNull())
     part = F.broadcast(
         load(spark, sf_dir, "part")
         .where(F.col("p_size").isin(1, 2, 3, 4, 5))
         .select("p_partkey", "p_brand", "p_size")
     )
-    excluded = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
-        "s_suppkey"
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .where((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
+        .select("s_suppkey")
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)

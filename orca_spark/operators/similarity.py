@@ -71,8 +71,10 @@ def dot(a, b, dim: int | None = _DIM) -> Column:
         expr = a[0] * F.lit(vec[0])
         for i in range(1, len(vec)):
             expr = expr + a[i] * F.lit(vec[i])
-        return F.when(F.size(a) == len(vec), expr).otherwise(
-            _raise_width(len(vec), a)
+        return (
+            F.when(a.isNull(), F.lit(None).cast("double"))
+            .when(F.size(a) == len(vec), expr)
+            .otherwise(_raise_width(len(vec), a))
         )
     if isinstance(a, str) and isinstance(b, str) and dim is not None:
         chain = "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)) + ")"
@@ -81,8 +83,10 @@ def dot(a, b, dim: int | None = _DIM) -> Column:
         expr = a[0] * b[0]
         for i in range(1, dim):
             expr = expr + a[i] * b[i]
-        return F.when((F.size(a) == dim) & (F.size(b) == dim), expr).otherwise(
-            _raise_width(dim, a)
+        return (
+            F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+            .when((F.size(a) == dim) & (F.size(b) == dim), expr)
+            .otherwise(_raise_width(dim, a))
         )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -92,22 +96,30 @@ def dot(a, b, dim: int | None = _DIM) -> Column:
 
 
 def _guard_width(expr_sql: str, cols: list[str], dim: int) -> str:
-    """Wrap an expanded dot chain in a width assertion (SQL-string form)."""
+    """Wrap an expanded dot chain in a width assertion (SQL-string form).
+
+    NULL inputs yield NULL, they never raise: Catalyst gives no
+    evaluation-order guarantee between filters — a join-key null check
+    derived from this expression can be pushed BELOW the upstream
+    ``embedding IS NOT NULL`` filter and evaluate the guard on rows the
+    pipeline already excluded. A NULL result is dropped by whichever
+    null filter eventually runs; only a genuinely wrong width raises.
+    """
+    null_cond = " or ".join(f"{c} is null" for c in cols)
     cond = " and ".join(f"size({c}) = {dim}" for c in cols)
-    # coalesce each size: concat(NULL) would make the error MESSAGE null
-    # (a NULL array reports 'got -1/null', not a blank exception)
-    sizes = ", ".join(f"' ', coalesce(cast(size({c}) as string), 'null')" for c in cols)
+    sizes = ", ".join(f"' ', cast(size({c}) as string)" for c in cols)
     return (
-        f"(case when {cond} then {expr_sql} else "
+        f"(case when {null_cond} then null when {cond} then {expr_sql} else "
         f"raise_error(concat('dot(): expected array width {dim}, got',{sizes})) end)"
     )
 
 
 def _raise_width(dim: int, col) -> Column:
+    # reached only with non-null input (the null branch precedes it)
     return F.raise_error(
         F.concat(
             F.lit(f"dot(): expected array width {dim}, got "),
-            F.coalesce(F.size(col).cast("string"), F.lit("null")),
+            F.size(col).cast("string"),
         )
     )
 
@@ -658,7 +670,11 @@ def lsh_bucket(col, dim: int = 64) -> Column:
             f"(case when {_sql_dot_lit(col, plane)} > 0D then {1 << j}L else 0L end)"
             for j, plane in enumerate(_hyperplanes(dim))
         )
-        return F.expr(f"({bits})")
+        # one width guard around the whole bucket expression: the
+        # unguarded per-plane chains would silently yield NULL dots (and
+        # so a wrong bucket) for a narrower vector; NULL input -> NULL
+        # bucket (see _guard_width)
+        return F.expr(_guard_width(f"({bits})", [col], dim))
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(_hyperplanes(dim)):
         d = dot(col, plane)

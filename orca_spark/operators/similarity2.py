@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 from orca_spark.operators.similarity import (
     _N_QUERIES,
     _TOP_K,
-    _as_double,
     _with_norm,
     cosine,
     dot,

@@ -45,7 +45,8 @@ def bad_width_dir(tmp_path_factory):
 @pytest.mark.parametrize(
     "name",
     ["similarity_norms", "embedding_near_dup_pairs", "embedding_label_centroids",
-     "similarity_brute_topk", "embedding_near_dup_pairs_ivf", "similarity_pq_topk"],
+     "similarity_brute_topk", "embedding_near_dup_pairs_ivf", "similarity_pq_topk",
+     "similarity_ivf_topk", "similarity_lsh_topk"],
 )
 def test_null_embeddings_are_excluded_not_fatal(spark, null_vec_dir, name):
     df = queries()[name](spark, null_vec_dir)
@@ -54,6 +55,9 @@ def test_null_embeddings_are_excluded_not_fatal(spark, null_vec_dir, name):
         assert {r.vec_id for r in rows} == set(range(20)) - {3, 7}
 
 
-def test_wrong_width_embedding_raises_loudly(spark, bad_width_dir):
+@pytest.mark.parametrize(
+    "name", ["embedding_near_dup_pairs", "similarity_lsh_topk"]
+)
+def test_wrong_width_embedding_raises_loudly(spark, bad_width_dir, name):
     with pytest.raises(Exception, match="expected array width 64"):
-        queries()["embedding_near_dup_pairs"](spark, bad_width_dir).collect()
+        queries()[name](spark, bad_width_dir).collect()
