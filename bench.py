@@ -43,8 +43,10 @@ HEADLINE = [
     "similarity_pq_topk",
     "window_distribution_scalable",
     "dedup_cross_split_contamination",
-    # round-4 addition: the real-codec Arrow decode path
+    # round-4 additions: the real-codec Arrow decode path and the
+    # BLAS-scored near-dup form (vs the expression-scored ivf sibling)
     "multimodal_ppm_decode",
+    "embedding_near_dup_pairs_gram",
 ]
 
 

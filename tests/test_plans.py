@@ -88,6 +88,7 @@ def test_bucketed_pair_generators_have_no_cartesian(spark):
     mode they exist to avoid."""
     for name in [
         "embedding_near_dup_pairs_ivf",
+        "embedding_near_dup_pairs_gram",
         "semantic_vs_lexical_dedup_bucketed",
         "dedup_simhash_pairs",
         "dedup_ngram_jaccard",

@@ -27,6 +27,7 @@ def test_oracles_are_subset_with_known_exceptions():
         "similarity_ivf_topk",
         "similarity_pq_topk",
         "embedding_near_dup_pairs_ivf",
+        "embedding_near_dup_pairs_gram",
         "semantic_vs_lexical_dedup_bucketed",
         "profile_lineitem_approx",
     }, oracleless

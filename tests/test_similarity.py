@@ -215,3 +215,28 @@ def test_pq_encode_join_matches_literal(emb):
     big = train_pq(emb, cents, ncodes=32)
     plan = _df_plan(pq_encode(assigned, cents, big))
     assert "BroadcastHashJoin" in plan
+
+
+def test_gram_near_dup_agrees_with_exact(spark):
+    """The Arrow gram-matrix form must emit (a subset of) the exact pair
+    set with the IVF recall floor; cosines may differ from the SQL fold
+    only by one final-rounding step (numpy's blocked summation)."""
+    from tests.conftest import SF_DIR
+    from orca_spark.queries import queries
+
+    q = queries()
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q["embedding_near_dup_pairs"](spark, SF_DIR).collect()
+    }
+    gram = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q["embedding_near_dup_pairs_gram"](spark, SF_DIR).collect()
+    }
+    # same cluster structure as the ivf form -> same candidate recall
+    assert len(set(gram) & set(exact)) / len(exact) >= 0.9
+    for pair in set(gram) & set(exact):
+        assert abs(gram[pair] - exact[pair]) <= 1.01e-4, pair
+    # near-threshold ulp flips may add/drop pairs only AT the threshold
+    for pair in set(gram) - set(exact):
+        assert abs(gram[pair] - 0.4) <= 1.01e-4, pair
