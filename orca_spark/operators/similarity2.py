@@ -539,7 +539,9 @@ def gram_near_dup_pairs(
         "vec_id", "e", "clusters", F.explode("clusters").alias("c")
     )
 
-    def score(key: tuple, pdf: pd.DataFrame):
+    def score(key, pdf):
+        # no type hints: applyInPandas infers eval type from hints and
+        # warns on the (tuple, DataFrame) grouped-map signature
         c = int(key[0])
         ids = pdf["vec_id"].to_numpy()
         x = np.array(pdf["e"].tolist(), dtype=np.float64)
