@@ -180,7 +180,12 @@ def _parse_ppm_header(data: bytes) -> tuple[int, int, int, int]:
         if c == b"#":
             while i < n and data[i : i + 1] not in (b"\n", b"\r"):
                 i += 1
-            i += 1  # the comment's newline delimits the raster ...
+            # the comment's line terminator delimits the raster; treat
+            # \r\n as ONE delimiter (a Windows-authored comment would
+            # otherwise leave the \n as the first raster byte)
+            if data[i : i + 1] == b"\r" and data[i + 1 : i + 2] == b"\n":
+                i += 1
+            i += 1
             if data[i : i + 1] == b"#":  # ... unless another comment follows
                 continue
             break

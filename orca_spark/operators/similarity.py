@@ -34,7 +34,7 @@ def _as_double(col) -> Column:
 _DIM = 64  # embedding width of the corpus tables
 
 
-def dot(a, b, dim: int | None = _DIM) -> Column:
+def dot(a, b, dim: int | None = _DIM, *, validated: bool = False) -> Column:
     """Dot product of two array<double> columns, or of a column against a
     driver-side literal vector (pass ``b`` as a plain Python list).
 
@@ -58,19 +58,30 @@ def dot(a, b, dim: int | None = _DIM) -> Column:
 
     Width safety: the static expansion indexes ``a[dim-1]``, and Spark's
     non-ANSI out-of-range array access yields NULL — a narrower input
-    would produce silently-wrong (NULL) dots. Every expanded form is
-    therefore wrapped in a size guard that RAISES on width mismatch
-    (one ``size()`` comparison per input per row — O(1) against the
-    O(dim) multiply-adds it protects; whole-stage codegen keeps the
-    CASE inline).
+    would produce silently-wrong (NULL) dots. Expanded forms over
+    UNVALIDATED inputs are therefore wrapped in a size guard that RAISES
+    on width mismatch. Pass ``validated=True`` for frames whose width
+    was already asserted ONCE at the load boundary
+    (``load_embeddings``) — the bare chain is then emitted with no
+    per-row CASE/size() branching. This matters because the guard cost
+    is per EVALUATION: on pair queries (brute/IVF/LSH scoring joins)
+    dot() runs O(n·candidates) times, so an O(1)-per-row guard becomes
+    O(pairs) overhead protecting rows that were all validated at the
+    O(n) scan. (NULL inputs still propagate through the bare chain —
+    ``NULL[i]`` is NULL — so null semantics are unchanged.)
     """
     if isinstance(b, (list, tuple)):
         vec = [float(v) for v in b]
         if isinstance(a, str):
-            return F.expr(_guard_width(_sql_dot_lit(a, vec), [a], len(vec)))
+            chain = _sql_dot_lit(a, vec)
+            if validated:
+                return F.expr(chain)
+            return F.expr(_guard_width(chain, [a], len(vec)))
         expr = a[0] * F.lit(vec[0])
         for i in range(1, len(vec)):
             expr = expr + a[i] * F.lit(vec[i])
+        if validated:
+            return expr
         return (
             F.when(a.isNull(), F.lit(None).cast("double"))
             .when(F.size(a) == len(vec), expr)
@@ -78,11 +89,15 @@ def dot(a, b, dim: int | None = _DIM) -> Column:
         )
     if isinstance(a, str) and isinstance(b, str) and dim is not None:
         chain = "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)) + ")"
+        if validated:
+            return F.expr(chain)
         return F.expr(_guard_width(chain, [a, b], dim))
     if dim is not None:
         expr = a[0] * b[0]
         for i in range(1, dim):
             expr = expr + a[i] * b[i]
+        if validated:
+            return expr
         return (
             F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
             .when((F.size(a) == dim) & (F.size(b) == dim), expr)
@@ -124,27 +139,42 @@ def _raise_width(dim: int, col) -> Column:
     )
 
 
-def cosine(a, b, dim: int | None = _DIM) -> Column:
-    return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
+def cosine(a, b, dim: int | None = _DIM, *, validated: bool = False) -> Column:
+    return dot(a, b, dim, validated=validated) / (
+        F.sqrt(dot(a, a, dim, validated=validated))
+        * F.sqrt(dot(b, b, dim, validated=validated))
+    )
 
 
 def _with_norm(df: DataFrame, out: str) -> DataFrame:
     """Attach the L2 norm once per vector: pair queries then do ONE dot
-    per pair instead of three (the two self-dots hoist out of the join)."""
-    return df.withColumn(out, F.sqrt(dot("e", "e")))
+    per pair instead of three (the two self-dots hoist out of the join).
+    Input contract: ``df`` comes from ``load_embeddings`` (width already
+    validated), so the norm uses the bare unguarded chain."""
+    return df.withColumn(out, F.sqrt(dot("e", "e", validated=True)))
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
-    """Load the embeddings table with NULL vectors dropped and the
-    vector upcast to double as ``e``.
+    """Load the embeddings table with NULL vectors dropped, the width
+    asserted, and the vector upcast to double as ``e``.
 
     Contract: a missing (NULL) embedding is EXCLUDED — real corpora
     always have vectorization gaps and a null row must not abort a
-    corpus-wide dedup; a WRONG-WIDTH embedding still raises through the
-    dot() width guards (silently-wrong similarity scores are worse than
-    a loud failure). Extra columns pass through by name."""
+    corpus-wide dedup; a WRONG-WIDTH embedding RAISES here, once per
+    row at the scan (silently-wrong similarity scores are worse than a
+    loud failure). Downstream dot()/cosine() calls on the returned
+    frame pass ``validated=True`` and skip their per-evaluation width
+    guards — the whole point of asserting at the load boundary: the
+    check runs O(n) times at the scan instead of O(pairs) times inside
+    the scoring joins. Extra columns pass through by name."""
     emb = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
-    return emb.select("vec_id", _as_double(F.col("embedding")).alias("e"), *cols)
+    checked = F.expr(
+        f"case when embedding is null then embedding"
+        f" when size(embedding) = {_DIM} then embedding"
+        f" else raise_error(concat('load_embeddings: expected array width {_DIM},"
+        f" got ', cast(size(embedding) as string))) end"
+    )
+    return emb.select("vec_id", _as_double(checked).alias("e"), *cols)
 
 
 def brute_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFrame:
@@ -161,7 +191,7 @@ def brute_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFr
         # rank on the ROUNDED value + id tiebreak so ordering is
         # deterministic across engines despite last-ulp fold noise
         F.round(
-            dot("qe", "e") / (F.col("qn") * F.col("en")), 4
+            dot("qe", "e", validated=True) / (F.col("qn") * F.col("en")), 4
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -215,7 +245,7 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir, "label")
-    return emb.select("vec_id", "label", F.round(F.sqrt(dot("e", "e")), 4).alias("l2_norm"))
+    return emb.select("vec_id", "label", F.round(F.sqrt(dot("e", "e", validated=True)), 4).alias("l2_norm"))
 
 
 @register(
@@ -251,7 +281,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.sparkSession.sparkContext.defaultParallelism * 2, "vec_id"
     ).alias("a")
     b = emb.alias("b")
-    raw = dot("a.e", "b.e") / (F.col("a.n") * F.col("b.n"))
+    raw = dot("a.e", "b.e", validated=True) / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -382,7 +412,7 @@ def semantic_vs_lexical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("doc_a"),
             F.col("b.vec_id").alias("doc_b"),
-            (dot("a.e", "b.e") / (F.col("a.n") * F.col("b.n"))).alias("raw"),
+            (dot("a.e", "b.e", validated=True) / (F.col("a.n") * F.col("b.n"))).alias("raw"),
         )
         .where(F.col("raw") >= 0.4)
     )
@@ -491,7 +521,7 @@ def ivf_assign_join(
         "cid", F.explode(F.lit([cid for cid, _ in centroids]))
     )
     joined = fanned.join(F.broadcast(cdf), "cid")
-    d = F.col("c2") - F.lit(2.0) * dot("e", "cvec", dim)
+    d = F.col("c2") - F.lit(2.0) * dot("e", "cvec", dim, validated=True)
     scored = joined.withColumn("_d", d)
     picked = scored.groupBy("vec_id").agg(
         *[F.first(c).alias(c) for c in carried if c != "vec_id"],
@@ -598,7 +628,7 @@ def ivf_topk_df(
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine("qe", "e"), 4).alias("cosine"),
+        F.round(cosine("qe", "e", validated=True), 4).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -729,7 +759,7 @@ def lsh_topk_df(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("qe", "e"), 4).alias("cosine"),
+            F.round(cosine("qe", "e", validated=True), 4).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

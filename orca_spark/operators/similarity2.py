@@ -106,7 +106,7 @@ def ivf_near_dup_pairs(
     once = F.col("a.c") == F.array_min(
         F.array_intersect(F.col("a.clusters"), F.col("b.clusters"))
     )
-    raw = dot("a.e", "b.e") / (F.col("a.n") * F.col("b.n"))
+    raw = dot("a.e", "b.e", validated=True) / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(
             b,
@@ -420,12 +420,22 @@ def pq_topk_df(
             cents,
             books,
         )
-        .withColumn("nrm", F.sqrt(dot("e", "e", dim)))
+        .withColumn("nrm", F.sqrt(dot("e", "e", dim, validated=True)))
+        # a zero-norm vector has no direction: its ADC score (and exact
+        # cosine) would be NaN/Inf from the /nrm division and poison the
+        # rank window — exclude it from the index, like NULLs at load
+        .where(F.col("nrm") > 0)
         .localCheckpoint(eager=True)
     )
     # query-side tables, driver-side: probe assignment, q·c, and the
     # q_m·cw lookup tables for the handful of query vectors
     qrows = queries.select("vec_id", "e").collect()
+    if not qrows:
+        # an empty query set would make np.array([...]) 0-d and
+        # qmat[:, None, :] raise — return the (empty) result directly
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qids = [int(r.vec_id) for r in qrows]
     qmat = np.array([list(r.e) for r in qrows], dtype=np.float64)
     cmat = np.array([vec for _, vec in sorted(cents)], dtype=np.float64)
@@ -475,7 +485,7 @@ def pq_topk_df(
     exact = short.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine("qe", "e"), 4).alias("cosine"),
+        F.round(cosine("qe", "e", validated=True), 4).alias("cosine"),
     )
     we = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -558,10 +568,14 @@ def gram_near_dup_pairs(
             a, b = (i, j) if ids[i] < ids[j] else (j, i)
             out_a.append(int(ids[a]))
             out_b.append(int(ids[b]))
-            out_c.append(round(float(gram[i, j]), 4))
+            out_c.append(float(gram[i, j]))
         return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
 
-    return keyed.groupBy("c").applyInPandas(score, _GRAM_SCHEMA)
+    # round JVM-side with F.round (HALF_UP), not Python round() (banker's
+    # rounding) — boundary cosines must match the expression-scored
+    # siblings digit-for-digit, the same hardening pandas_ops applies
+    scored = keyed.groupBy("c").applyInPandas(score, _GRAM_SCHEMA)
+    return scored.withColumn("cosine", F.round("cosine", 4))
 
 
 @register(

@@ -78,12 +78,24 @@ def invalidate(sf_dir: str | None = None) -> None:
 
 
 def widen(df: DataFrame) -> DataFrame:
-    """Repartition to executor width ONLY when the input has fewer
-    partitions (single-row-group files at test scale). At cluster scale
-    a scan already has thousands of splits — an unconditional
-    repartition there would shuffle the whole table just to REDUCE
-    parallelism to the core count."""
+    """Repartition to executor width ONLY when the input is narrower
+    (single-row-group files at test scale). At cluster scale a scan
+    already has thousands of splits — an unconditional repartition
+    there would shuffle the whole table just to REDUCE parallelism to
+    the core count.
+
+    Precondition: ``df`` is scan-rooted (the operators' table loaders).
+    The split estimate is the scan's FILE list — ``df.rdd
+    .getNumPartitions()`` would be exact but forces physical planning on
+    every call, and under AQE can partially execute a plan containing
+    an exchange. File count under-counts splits only for files larger
+    than ``maxPartitionBytes`` — inputs already wider than the core
+    count, where skipping the repartition is the right call anyway. A
+    non-scan input (no files, e.g. ``createDataFrame`` in tests) is
+    returned as-is: such frames are born at ``defaultParallelism``.
+    """
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    files = df.inputFiles()
+    if files and len(files) < par:
         return df.repartition(par)
     return df

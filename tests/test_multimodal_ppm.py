@@ -87,3 +87,23 @@ def test_ppm_comment_between_maxval_and_raster():
     data2 = b"P6\n2 2\n255\n" + hash_px
     _, _, _, off2 = _parse_ppm_header(data2)
     assert data2[off2 : off2 + 12] == hash_px
+
+
+def test_ppm_crlf_comment_terminator():
+    """A Windows-authored (CRLF-terminated) comment after maxval: \r\n
+    is ONE delimiter — the \n must not leak into the raster."""
+    px = bytes(range(12))
+    data = b"P6\r\n2 2\r\n255#written on windows\r\n" + px
+    w, h, maxval, off = _parse_ppm_header(data)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert data[off : off + 12] == px
+    # bare-\r terminator (classic Mac) also delimits cleanly
+    data_cr = b"P6\n2 2\n255#cr only\r" + px
+    _, _, _, off_cr = _parse_ppm_header(data_cr)
+    assert data_cr[off_cr : off_cr + 12] == px
+    # and a raster that legitimately BEGINS with \n after a CRLF comment
+    # still yields the right pixels (the \n is pixel data, not delimiter)
+    px_nl = b"\n" + bytes(range(11))
+    data3 = b"P6\n2 2\n255#c\r\n" + px_nl
+    _, _, _, off3 = _parse_ppm_header(data3)
+    assert data3[off3 : off3 + 12] == px_nl
