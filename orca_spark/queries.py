@@ -7,33 +7,34 @@ from orca_spark.registry import REGISTRY, QuerySpec
 # Importing the operator modules registers their queries. ORDER MATTERS:
 # the correctness harness verifies registry entries in insertion order and
 # may only cover a prefix per round, so each round rotates the modules
-# whose queries most need fresh verification to the front (round 4: the
-# streaming jobs whose TIMESTAMP_NTZ crashes were fixed this round, the
-# new multimodal PPM decode / dedup_exact_safe /
-# semantic_vs_lexical_dedup_bucketed additions, the similarity family
-# whose scoring was restructured, and events whose sessionize aborted
-# the r03 bench — then the long-verified tail, every member of which
-# has a green driver row from r01-r03).
+# whose queries most need fresh verification to the front (round 5: the
+# similarity family FIRST — similarity2 holds the only two registered
+# queries that have never seen a driver row, embedding_near_dup_pairs_gram
+# and semantic_vs_lexical_dedup_bucketed, and this round removed the
+# per-pair width guards from every scoring join — then multimodal (PPM
+# CRLF header fix), the streaming jobs (state store switched to RocksDB),
+# and the io/relational/pandas families whose loads ride the reworked
+# widen() — then the long-verified tail, every member of which has a
+# green driver row from r01-r04).
+from orca_spark.operators import similarity2, similarity  # noqa: F401
+from orca_spark.operators import multimodal  # noqa: F401
 from orca_spark.streaming import jobs, jobs3, jobs2  # noqa: F401
 from orca_spark.operators import (  # noqa: F401
-    multimodal,
-    dedup,
-    dedup2,
-    text5,
+    io_ops,
+    io_ops2,
     relational7,
     pandas_ops,
     bucketing,
-    io_ops,
-    io_ops2,
     profile2,
 )
 
-# Long-verified tail (green rows in r01-r03, or no-oracle scale paths
+# Long-verified tail (green rows in r01-r04, or no-oracle scale paths
 # whose driver check is rows-only and whose real gate is the local
 # recall/behavior suite).
 from orca_spark.operators import (  # noqa: F401
-    similarity,
-    similarity2,
+    dedup,
+    dedup2,
+    text5,
     events,
     ranges,
     relational4,

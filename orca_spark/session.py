@@ -35,6 +35,16 @@ def get_spark(app_name: str = "orca_spark", cpus: int | None = None) -> SparkSes
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.orc.enableVectorizedReader", "true")
+        # RocksDB state store: the production setting for streaming at
+        # scale — state lives off-heap/on-disk per executor instead of
+        # in the JVM heap (the default HDFS-backed provider keeps every
+        # active key in memory, which at 100 TB/day watermark state is
+        # an OOM, not a config preference). Semantics are identical;
+        # the streaming suite runs against it.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # naive (isAdjustedToUTC=false) parquet timestamps read as
         # TIMESTAMP (UTC instants under the UTC session tz), not
@@ -56,6 +66,15 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        # production state store for the streaming jobs (see get_spark);
+        # runtime-settable — read per streaming query start
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    except Exception:
+        pass
     try:
         # driver testdata stores naive timestamp[us]; read as TIMESTAMP
         # (UTC instant) so watermarks / unix_micros keep working

@@ -11,7 +11,12 @@ semantics — the same code pointed at a Kafka source runs continuously.
 Scale notes: watermarks bound state (late data beyond 1 hour is
 dropped); windowed aggregations shuffle once on (window, key);
 ``applyInPandasWithState`` keeps per-key state in the state store with
-Arrow-batched Python transitions.
+Arrow-batched Python transitions. The state store is RocksDB
+(``spark.sql.streaming.stateStore.providerClass`` in ``session.py``) —
+the default HDFS-backed provider keeps every active key in executor
+heap, which at 100 TB/day watermark state is an OOM; RocksDB spills
+state off-heap/on-disk with identical semantics, and the whole suite
+runs against it.
 """
 
 from __future__ import annotations
