@@ -534,11 +534,11 @@ def ivf_assign_join(
 
 
 _KMEANS_SAMPLE = 4096
-_CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+_CENTROID_CACHE: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
 
 
 def kmeans_centroids(
-    emb: DataFrame, iters: int = 10, cache_key: str | None = None
+    emb: DataFrame, iters: int = 10, cache_key: str | None = None, k: int = 8
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means for the coarse quantizer, trained driver-side on
     a bounded deterministic sample.
@@ -553,7 +553,7 @@ def kmeans_centroids(
     (8 buckets), matching the previous distributed implementation's
     seeding scheme.
 
-    ``k`` stays at 8 (the corpus label count): this corpus is near-
+    ``k`` defaults to 8 (the corpus label count): THIS corpus is near-
     uniform (max pairwise cosine ≈ 0.5), so finer quantization buys no
     extra pruning at the registered 0.4 threshold but multiplies the
     argmin expression width (k×dim terms — past ~4k terms it exceeds
@@ -566,14 +566,14 @@ def kmeans_centroids(
     ``cache_key`` memoizes the trained quantizer per corpus (the index
     a real deployment trains once and persists); pass e.g. the sf_dir.
     """
-    if cache_key is not None and cache_key in _CENTROID_CACHE:
-        return _CENTROID_CACHE[cache_key]
+    ck = None if cache_key is None else (cache_key, k)
+    if ck is not None and ck in _CENTROID_CACHE:
+        return _CENTROID_CACHE[ck]
     import numpy as np
 
     rows = emb.select("vec_id", "e").orderBy("vec_id").limit(_KMEANS_SAMPLE).collect()
     x = np.array([list(r.e) for r in rows], dtype=np.float64)
     ids = np.array([int(r.vec_id) for r in rows])
-    k = 8
     # seed: per-(vec_id % k) bucket means — deterministic, no RNG
     seed_key = ids % k
     cents = np.stack(
@@ -596,8 +596,8 @@ def kmeans_centroids(
         if not moved:
             break
     out = [(c, [float(v) for v in cents[c]]) for c in range(k)]
-    if cache_key is not None:
-        _CENTROID_CACHE[cache_key] = out
+    if ck is not None:
+        _CENTROID_CACHE[ck] = out
     return out
 
 

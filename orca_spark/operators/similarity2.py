@@ -55,15 +55,20 @@ def ivf_near_dup_pairs(
     threshold: float = _NEAR_DUP_THRESHOLD,
     nprobe: int = 3,
     cache_key: str | None = None,
+    k: int = 8,
 ) -> DataFrame:
     """Near-dup pairs within k-means coarse clusters only.
 
     Every vector joins its ``nprobe`` nearest clusters; a pair is a
     candidate iff the two vectors share an assigned cluster. Exact
     cosine verification runs on candidates only — the measure is
-    identical to the all-pairs query, the clusters only prune.
+    identical to the all-pairs query, the clusters only prune. ``k``
+    sizes the coarse quantizer (k ≈ √n on clustered corpora; past 8 the
+    assignment switches to the broadcast-join argmin automatically —
+    the pruning-vs-recall tradeoff is measured on a planted clustered
+    corpus in tests/test_similarity.py).
     """
-    cents = kmeans_centroids(emb, cache_key=cache_key)
+    cents = kmeans_centroids(emb, cache_key=cache_key, k=k)
     # materialize the assignment table (the index-build step a real
     # pipeline persists once): the self-join below would otherwise
     # evaluate the ~10-centroid argmin expression on both sides.

@@ -240,3 +240,94 @@ def test_gram_near_dup_agrees_with_exact(spark):
     # near-threshold ulp flips may add/drop pairs only AT the threshold
     for pair in set(gram) - set(exact):
         assert abs(gram[pair] - 0.4) <= 1.01e-4, pair
+
+
+# ---------------------------------------------------------------------------
+# planted clustered corpus: the IVF pruning claim as a measured property
+# ---------------------------------------------------------------------------
+
+N_CLUSTERS = 16
+PER_CLUSTER = 30
+N_TWINS = 40
+CLUSTER_THRESHOLD = 0.997
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    """Mixture of 16 Gaussians on a ring (dims 0-1 of 64) + 40 planted
+    near-dup twins. The sf-corpus embeddings are near-uniform (max
+    pairwise cosine ~0.5, ~82% of pairs survive the cluster buckets), so
+    the recall floor there says nothing about PRUNING; this corpus is
+    what IVF is for, and lets the candidate fraction be asserted.
+    vec_id % 16 == true cluster, so the quantizer's bucket-mean seeding
+    starts at the planted truth."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(42)
+    n_base = N_CLUSTERS * PER_CLUSTER
+    means = np.zeros((N_CLUSTERS, DIM))
+    ang = 2 * np.pi * np.arange(N_CLUSTERS) / N_CLUSTERS
+    means[:, 0], means[:, 1] = np.cos(ang), np.sin(ang)
+    base = means[np.arange(n_base) % N_CLUSTERS] + rng.normal(0, 0.02, (n_base, DIM))
+    twins = base[:N_TWINS] + rng.normal(0, 0.001, (N_TWINS, DIM))
+    x = np.vstack([base, twins]).astype(np.float32)
+    ids = np.arange(len(x))  # twin of base b is 480+b: (480+b) % 16 == b % 16
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in x], pa.list_(pa.float32())),
+            "label": pa.array([str(i % N_CLUSTERS) for i in ids], pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("clustered_sf")
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    return str(d), x
+
+
+def test_ivf_prunes_and_recalls_on_clustered_corpus(spark, clustered_dir):
+    """The 100 TB claim, measured: on a clustered corpus the k=16 /
+    nprobe=2 bucket join must (a) consider < 30% of all pairs as
+    candidates and (b) still find >= 97% of the true near-dup pairs."""
+    import numpy as np
+
+    from orca_spark.operators.similarity import ivf_assign, kmeans_centroids, load_embeddings
+    from orca_spark.operators.similarity2 import ivf_near_dup_pairs
+
+    d, x = clustered_dir
+    x64 = x.astype(np.float64)
+    nrm = np.linalg.norm(x64, axis=1)
+    gram = (x64 @ x64.T) / np.outer(nrm, nrm)
+    iu, ju = np.triu_indices(len(x64), 1)
+    truth = {
+        (int(i), int(j)) for i, j in zip(iu[gram[iu, ju] >= CLUSTER_THRESHOLD],
+                                         ju[gram[iu, ju] >= CLUSTER_THRESHOLD])
+    }
+    assert len(truth) >= N_TWINS  # every planted twin pair is a true dup
+
+    emb = load_embeddings(spark, d)
+    cents = kmeans_centroids(emb, k=N_CLUSTERS)
+    assert len(cents) == N_CLUSTERS
+    assigned = ivf_assign(emb, cents, nprobe=2).select("vec_id", "clusters").collect()
+    masks = np.zeros(len(x64), dtype=np.int64)
+    for r in assigned:
+        for c in r.clusters:
+            masks[int(r.vec_id)] |= 1 << int(c)
+    cand_frac = ((masks[iu] & masks[ju]) != 0).mean()
+    assert cand_frac < 0.30, f"bucket join kept {cand_frac:.1%} of all pairs"
+    assert cand_frac > 0.02  # sanity: buckets exist and overlap somewhere
+
+    found_rows = ivf_near_dup_pairs(
+        emb, threshold=CLUSTER_THRESHOLD, nprobe=2, k=N_CLUSTERS
+    ).collect()
+    found = {(int(r.vec_a), int(r.vec_b)) for r in found_rows}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.97, f"recall {recall:.3f} on {len(truth)} true pairs"
+    # precision guard: nothing far below the threshold may be emitted
+    # (epsilon absorbs numpy-vs-SQL last-ulp summation differences)
+    loose = {
+        (int(i), int(j)) for i, j in zip(iu[gram[iu, ju] >= CLUSTER_THRESHOLD - 1e-4],
+                                         ju[gram[iu, ju] >= CLUSTER_THRESHOLD - 1e-4])
+    }
+    assert found <= loose
