@@ -47,6 +47,8 @@ _DOC_QUERIES = [
     "text_repetition_signals",
     "text_pii_scrub",
     "text_tokens_udtf",
+    "text_tfidf_top_terms",
+    "text_bm25_query_scores",
     "documents_quality_filter",
     "documents_train_val_test",
     "multimodal_binary_stats",
