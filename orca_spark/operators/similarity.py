@@ -613,13 +613,19 @@ def ivf_topk_df(
     scoring touches only those clusters' members
     (~nprobe/n_clusters of the corpus)."""
     cents = kmeans_centroids(emb, cache_key=cache_key)
-    corpus = ivf_assign(emb, cents, nprobe=1).select(
-        "vec_id", "e", F.element_at("clusters", 1).alias("cluster")
+    # norms attached ONCE per side before the bucket join: cosine()
+    # inline would re-evaluate both self-dot chains per candidate pair
+    # (3 chains/pair -> 1 chain + 2 column refs). The hoisted sqrt runs
+    # the identical expression, so scores are bit-equal to the inline
+    # form and the recall-floor tests see the same sets.
+    corpus = _with_norm(ivf_assign(emb, cents, nprobe=1), "en").select(
+        "vec_id", "e", "en", F.element_at("clusters", 1).alias("cluster")
     )
     q = F.broadcast(
-        ivf_assign(queries, cents, nprobe=nprobe).select(
+        _with_norm(ivf_assign(queries, cents, nprobe=nprobe), "qn").select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
+            "qn",
             F.explode("clusters").alias("cluster"),
         )
     )
@@ -628,7 +634,9 @@ def ivf_topk_df(
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine("qe", "e", validated=True), 4).alias("cosine"),
+        F.round(
+            dot("qe", "e", validated=True) / (F.col("qn") * F.col("en")), 4
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -736,8 +744,11 @@ def lsh_topk_df(
     of 1, recovering near-neighbors that landed just across one
     hyperplane, at ~9× the (still tiny) candidate cost.
     """
-    bucketed = emb.withColumn("bucket", lsh_bucket("e"))
-    qb = queries.withColumn("bucket", lsh_bucket("e"))
+    # norms hoisted out of the bucket join (same device as ivf_topk_df:
+    # one self-dot chain per ROW instead of two per candidate pair,
+    # bit-equal scores)
+    bucketed = _with_norm(emb, "en").withColumn("bucket", lsh_bucket("e"))
+    qb = _with_norm(queries, "qn").withColumn("bucket", lsh_bucket("e"))
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
@@ -748,6 +759,7 @@ def lsh_topk_df(
         qb.select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
+            "qn",
             F.col("bucket").alias("qbucket"),
         )
     )
@@ -759,7 +771,9 @@ def lsh_topk_df(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("qe", "e", validated=True), 4).alias("cosine"),
+            F.round(
+                dot("qe", "e", validated=True) / (F.col("qn") * F.col("en")), 4
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

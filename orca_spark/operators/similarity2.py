@@ -481,16 +481,24 @@ def pq_topk_df(
     scored = (
         corpus.join(q, ["cluster"])
         .where(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", "e", "qe", adc.alias("adc"))
+        .select("query_id", "vec_id", "e", "nrm", "qe", adc.alias("adc"))
     )
     ws = W.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
     short = scored.withColumn("_arank", F.row_number().over(ws)).where(
         F.col("_arank") <= shortlist
     )
+    # the index's stored nrm is the same sqrt(chain) the inline cosine
+    # would recompute — reuse it (bit-equal); the query self-dot stays
+    # inline (the broadcastside rows are driver-built, and a numpy norm
+    # would differ in the last ulp from the SQL fold)
     exact = short.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine("qe", "e", validated=True), 4).alias("cosine"),
+        F.round(
+            dot("qe", "e", dim, validated=True)
+            / (F.sqrt(dot("qe", "qe", dim, validated=True)) * F.col("nrm")),
+            4,
+        ).alias("cosine"),
     )
     we = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
