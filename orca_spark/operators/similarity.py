@@ -612,22 +612,42 @@ def ivf_topk_df(
     quantizer), queries probe the ``nprobe`` nearest clusters; cosine
     scoring touches only those clusters' members
     (~nprobe/n_clusters of the corpus)."""
+    from orca_spark.tables import widen
+
     cents = kmeans_centroids(emb, cache_key=cache_key)
     # norms attached ONCE per side before the bucket join: cosine()
     # inline would re-evaluate both self-dot chains per candidate pair
     # (3 chains/pair -> 1 chain + 2 column refs). The hoisted sqrt runs
     # the identical expression, so scores are bit-equal to the inline
-    # form and the recall-floor tests see the same sets.
-    corpus = _with_norm(ivf_assign(emb, cents, nprobe=1), "en").select(
-        "vec_id", "e", "en", F.element_at("clusters", 1).alias("cluster")
+    # form and the recall-floor tests see the same sets. widen() spreads
+    # the assignment off the source's single test-scale split, and the
+    # localCheckpoint materializes the index BEHIND A BARRIER — without
+    # it Catalyst's projection collapse inlines the k×dim argmin
+    # expression into every downstream reference (measured: a 682 KB
+    # physical plan with the argmin duplicated 5×, evaluated interpreted
+    # at 9.5 s/run; with the barrier the scoring join reads plain
+    # columns). Same device and same rationale as ivf_near_dup_pairs /
+    # pq_topk_df: the index build is the step a deployment persists.
+    corpus = (
+        _with_norm(ivf_assign(widen(emb), cents, nprobe=1), "en")
+        .select("vec_id", "e", "en", F.element_at("clusters", 1).alias("cluster"))
+        .localCheckpoint(eager=True)
     )
-    q = F.broadcast(
-        _with_norm(ivf_assign(queries, cents, nprobe=nprobe), "qn").select(
+    # the (bounded) query side gets the same barrier: its nprobe-argmin
+    # would otherwise re-inline under the qn/explode references and keep
+    # the scoring-join plan hundreds of KB of interpreted expression
+    qside = (
+        _with_norm(ivf_assign(queries, cents, nprobe=nprobe), "qn")
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
             "qn",
-            F.explode("clusters").alias("cluster"),
+            "clusters",
         )
+        .localCheckpoint(eager=True)
+    )
+    q = F.broadcast(
+        qside.select("query_id", "qe", "qn", F.explode("clusters").alias("cluster"))
     )
     scored = corpus.join(q, ["cluster"]).where(
         F.col("query_id") != F.col("vec_id")
@@ -744,10 +764,13 @@ def lsh_topk_df(
     of 1, recovering near-neighbors that landed just across one
     hyperplane, at ~9× the (still tiny) candidate cost.
     """
+    from orca_spark.tables import widen
+
     # norms hoisted out of the bucket join (same device as ivf_topk_df:
     # one self-dot chain per ROW instead of two per candidate pair,
-    # bit-equal scores)
-    bucketed = _with_norm(emb, "en").withColumn("bucket", lsh_bucket("e"))
+    # bit-equal scores); widen() spreads the per-row bucket hashing off
+    # the source's single test-scale split
+    bucketed = _with_norm(widen(emb), "en").withColumn("bucket", lsh_bucket("e"))
     qb = _with_norm(queries, "qn").withColumn("bucket", lsh_bucket("e"))
     if multiprobe:
         probes = F.array(
