@@ -199,3 +199,61 @@ def bm25_scores_df(
 def text_bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return bm25_scores_df(docs)
+
+
+def unigram_logprob_df(docs: DataFrame) -> DataFrame:
+    """Mean unigram log-probability per document — the standard
+    perplexity-proxy quality score (docs whose tokens are improbable
+    under the corpus unigram LM are boilerplate/garbled/off-language
+    candidates; very high scores flag repetitive boilerplate).
+
+    p(w) = count(w)/total over the whole corpus; score = mean over the
+    document's token OCCURRENCES (repeats count) of ln p(w). Shape:
+    token explode -> partial-agg term counts -> term-keyed join back ->
+    one per-doc avg; corpus total rides as a one-row broadcast. Every
+    token's probability is > 0 by construction (it was counted), so no
+    smoothing is needed for scoring the training corpus itself; scoring
+    NEW text against these counts needs the add-k variant."""
+    tok = _tokens(docs)
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    return (
+        tok.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("total"))), 4).alias(
+                "avg_logprob"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        tok AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)
+            WHERE w <> ''
+        ),
+        counts AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        total AS (SELECT sum(c) AS total FROM counts)
+        SELECT tok.doc_id,
+               round(avg(ln(counts.c / total.total)), 4) AS avg_logprob,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tok
+        JOIN counts ON counts.w = tok.w
+        CROSS JOIN total
+        GROUP BY tok.doc_id
+    """,
+    description="mean unigram log-probability per document (corpus-fit "
+    "LM, repeats counted): the perplexity-proxy quality filter — token "
+    "explode, partial-agg term counts, term-keyed join, per-doc avg; "
+    "corpus total as a one-row broadcast",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return unigram_logprob_df(docs)

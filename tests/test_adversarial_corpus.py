@@ -49,6 +49,7 @@ _DOC_QUERIES = [
     "text_tokens_udtf",
     "text_tfidf_top_terms",
     "text_bm25_query_scores",
+    "text_unigram_logprob",
     "documents_quality_filter",
     "documents_train_val_test",
     "multimodal_binary_stats",

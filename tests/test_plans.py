@@ -160,3 +160,20 @@ def test_bucketed_agg_has_no_exchange(spark):
     p = plan_str(spark, "bucketed_agg_orders")
     assert "Bucketed: true" in p
     assert "hashpartitioning(l_orderkey" not in p
+
+
+def test_term_weighting_plans_stay_jvm_side(spark):
+    """TF-IDF / BM25 / unigram-LM must map-side combine their counts,
+    keep scalar corpus statistics as broadcasts, never fall back to
+    Python, and prune the untouched document columns from the scan."""
+    for name in [
+        "text_tfidf_top_terms",
+        "text_bm25_query_scores",
+        "text_unigram_logprob",
+    ]:
+        p = plan_str(spark, name)
+        assert "partial_count" in p or "partial_sum" in p, name
+        assert "BatchEvalPython" not in p, f"{name} fell back to a Python UDF"
+        assert "Broadcast" in p, f"{name} shuffles its scalar statistics"
+        for col in ["lang", "source", "n_chars"]:
+            assert f"{col}:" not in p, f"{name} scan reads {col}"
