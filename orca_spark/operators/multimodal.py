@@ -298,3 +298,67 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     decoded = decode_images(attach_payload(d))
     return decoded.withColumn("feature_mean", F.round("feature_mean", 6))
+
+
+@register(
+    "multimodal_binaryfile_ingest",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(range(0, 12), i ->
+                       (strpos('0123456789abcdef', substr(md5(text), i*2+1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(md5(text), i*2+2, 1)) - 1)
+                   ) AS px
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id < 50
+        )
+        SELECT doc_id,
+               CAST(23 AS BIGINT)                              AS n_bytes,
+               2                                               AS width,
+               2                                               AS height,
+               3                                               AS n_channels,
+               round(list_aggregate(px, 'avg') / 255.0, 6)     AS feature_mean
+        FROM b
+    """,
+    description="file-system image ingest through the binaryFile source: "
+    "real .ppm FILES on disk -> spark.read.format('binaryFile') with a "
+    "pathGlobFilter -> doc_id parsed from the path -> the same netpbm "
+    "mapInPandas decoder as multimodal_ppm_decode. The source "
+    "parallelizes over files (one row per file, content as binary) — "
+    "the standard ingest shape for an image/audio corpus laid out as "
+    "objects; the bounded fixture-materialization step stands in for "
+    "files that already exist at scale",
+)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8"),
+        F.expr("substring(unhex(md5(text)), 1, 12)"),
+    )
+    # bounded fixture write (50 files, 23 bytes each): the operator under
+    # test is the INGEST — at scale the files already exist in object
+    # storage and this step disappears
+    rows = (
+        d.where(F.col("text").isNotNull() & (F.col("doc_id") < 50))
+        .select("doc_id", payload.alias("payload"))
+        .collect()
+    )
+    img_dir = tempfile.mkdtemp(prefix="orca_binaryfile_")
+    for r in rows:
+        with open(os.path.join(img_dir, f"{int(r.doc_id)}.ppm"), "wb") as f:
+            f.write(bytes(r.payload))
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(img_dir)
+    )
+    src = files.select(
+        F.regexp_extract("path", r"(\d+)\.ppm$", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return decode_ppm_images(src).withColumn(
+        "feature_mean", F.round("feature_mean", 6)
+    )

@@ -56,6 +56,7 @@ _DOC_QUERIES = [
     "multimodal_frame_sample",
     "multimodal_ppm_decode",
     "multimodal_decode_features",
+    "multimodal_binaryfile_ingest",
 ]
 
 
