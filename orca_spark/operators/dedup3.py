@@ -1,0 +1,262 @@
+"""Dedup batch 3: segment-level boilerplate removal and bloom-pruned
+decontamination — the two remaining dedup shapes a pretraining pipeline
+runs that the earlier batches (document-exact, MinHash, SimHash, n-gram
+Jaccard, embedding near-dup) don't cover.
+
+Segment-level dedup is the RefinedWeb/CCNet "line-level" pass: a LINE
+that appears verbatim in many documents is boilerplate (nav bars, cookie
+banners, license headers) and is removed from every document while the
+rest of each document survives.  The driver corpus has no newlines, so
+segments are fixed ``SEG_W``-token windows — the pipeline shape
+(explode → cross-doc frequency → remove → reassemble) is identical.
+
+Bloom-pruned decontamination is the scale form of the exact anti-join:
+build a compact bit-array from the contamination set, broadcast it, drop
+the obvious non-members with pure bit arithmetic (no shuffle of the big
+side), and exact-confirm only the survivors.  The final output is EXACT
+(the bloom can only let extra candidates through to the confirm join,
+never drop a true match), which is why it still gets a plain anti-join
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+# 3-token windows with a cross-document frequency threshold of 5: on the
+# driver corpus this yields a ~25-segment boilerplate set (measured at
+# sf0.001 and sf0.01) — small enough to broadcast, large enough that the
+# removal path is actually exercised.
+SEG_W = 3
+SEG_DOC_FREQ = 5
+
+
+@register(
+    "dedup_line_level",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        base AS (
+            SELECT doc_id, t,
+                   CAST(ceil(len(t) * 1.0 / {SEG_W}) AS BIGINT) AS n_segments
+            FROM tk
+        ),
+        flat AS (
+            SELECT doc_id, s.idx AS idx, s.seg AS seg
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(0, n_segments),
+                              i -> {{'idx': i,
+                                     'seg': array_to_string(
+                                         t[i*{SEG_W}+1 : i*{SEG_W}+{SEG_W}],
+                                         ' ')}})) AS s
+                FROM base
+            )
+        ),
+        freq AS (
+            SELECT seg FROM (
+                SELECT seg, count(DISTINCT doc_id) AS df
+                FROM flat GROUP BY seg
+            ) WHERE df >= {SEG_DOC_FREQ}
+        ),
+        kept AS (
+            SELECT doc_id, idx, seg FROM flat
+            WHERE seg NOT IN (SELECT seg FROM freq)
+        ),
+        clean AS (
+            SELECT doc_id,
+                   string_agg(seg, ' ' ORDER BY idx) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(c.clean_text, '')                 AS clean_text,
+               b.n_segments,
+               b.n_segments - coalesce(c.n_kept, 0)       AS n_removed
+        FROM base b LEFT JOIN clean c USING (doc_id)
+    """,
+    description="line-level (segment) boilerplate removal, the "
+    "RefinedWeb/CCNet pass: explode docs into 3-token segments, count "
+    "cross-document frequency (distinct-doc count, map-side "
+    "combinable), broadcast the small frequent set, anti-join it out of "
+    "every document, reassemble survivors in order. The heavy explode "
+    "shuffles once for the frequency agg; removal itself never "
+    "shuffles the corpus",
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove segments that appear in >= SEG_DOC_FREQ distinct docs.
+
+    Scale: the frequency aggregation shuffles (segment) keys once with
+    map-side partial counts; the boilerplate set (df >= threshold) is by
+    construction tiny relative to the corpus — the power-law head — so
+    the removal is a broadcast anti-join and the reassembly is one
+    groupBy(doc_id) shuffle of the surviving segments.  If a corpus ever
+    produced a frequent-set too large to broadcast, dropping the
+    broadcast hint falls back to a shuffle anti-join with identical
+    semantics.
+    """
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_segments = F.ceil(F.size("t") * F.lit(1.0) / SEG_W).cast("long")
+    base = tk.select("doc_id", "t", n_segments.alias("n_segments"))
+    # fixed-width token windows; slice() clamps the final partial window
+    segs = F.transform(
+        F.sequence(F.lit(0), F.col("n_segments") - 1),
+        lambda i: F.concat_ws(" ", F.slice("t", i * SEG_W + 1, SEG_W)),
+    )
+    flat = base.select(
+        "doc_id", F.posexplode(segs).alias("idx", "seg")
+    )
+    freq = (
+        flat.select("doc_id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= SEG_DOC_FREQ)
+        .select("seg")
+    )
+    kept = flat.join(F.broadcast(freq), "seg", "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", "n_segments")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned decontamination
+# ---------------------------------------------------------------------------
+
+# 2^16 bits (1024 longs, 8 KiB) with 4 probes: for a contamination set of
+# n keys the false-positive rate is ~(1 - e^(-4n/65536))^4 — ~1.5e-4 at
+# n=500, ~2.4e-2 at n=5000.  The bitmap is a broadcast literal; sizing
+# scales it linearly (a 100M-key blocklist at 10 bits/key is ~125 MB,
+# still broadcast range on real executors).
+_BLOOM_BITS = 1 << 16
+_BLOOM_HASHES = 4
+
+
+def _position_sql(key_name: str, seed: int) -> str:
+    """SQL for one probe position: xxhash64 over (key, seed), mod bits.
+
+    The seed is just an extra hashed column — k distinct seeds give k
+    independent hash functions; build and probe use the identical form.
+    """
+    return f"pmod(xxhash64({key_name}, {seed}), {_BLOOM_BITS})"
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Aggregate a key set into one row: array<long> bitmap of _BLOOM_BITS.
+
+    Pure SQL bit arithmetic — each key contributes k set bits via
+    ``shiftleft(1, pos % 64)`` OR-ed into word ``pos div 64``; the
+    aggregation is ``bit_or`` per word, fully map-side combinable, so
+    building from 100 TB of keys is one partial-agg pass producing 8 KiB.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.expr(_position_sql(key_col, seed))
+                for seed in range(_BLOOM_HASHES)
+            ]
+        )
+    )
+    words = (
+        keys.select(pos.alias("p"))
+        .select(
+            F.expr("p div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    # densify to a fixed-length array so probing is element_at, not a join
+    return words.agg(
+        F.expr(
+            f"aggregate(collect_list(struct(w, word)), "
+            f"array_repeat(0L, {_BLOOM_BITS // 64}), "
+            f"(acc, x) -> transform(acc, (v, i) -> "
+            f"IF(i = x.w, v | x.word, v)))"
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(bloom_name: str, key_name: str):
+    """True iff ALL k probe bits are set — the bloom membership test."""
+    conds = []
+    for seed in range(_BLOOM_HASHES):
+        p = _position_sql(key_name, seed)
+        conds.append(
+            f"(element_at({bloom_name}, cast({p} div 64 as int) + 1)"
+            f" & shiftleft(1L, cast({p} % 64 as int))) != 0"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+@register(
+    "dedup_bloom_decontaminate",
+    oracle="""
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        WHERE md5(d.text) NOT IN (
+            SELECT md5(text) FROM documents WHERE source = 'src0'
+        )
+        ORDER BY d.doc_id
+    """,
+    description="bloom-pruned decontamination: the benchmark/eval set "
+    "('src0') aggregates into an 8 KiB bit-array broadcast to every "
+    "task; the corpus drops obvious non-members with pure bit "
+    "arithmetic (no shuffle, no join) and only bloom-positive "
+    "survivors reach the exact confirm anti-join — output is EXACT "
+    "(bloom false positives are re-checked, false negatives are "
+    "impossible), hence the plain anti-join oracle",
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop corpus docs whose text appears in the contamination set.
+
+    Scale story: the naive form is an anti-join that shuffles the full
+    100 TB corpus on md5(text).  Here the contamination set (eval
+    benchmarks — thousands to millions of rows, not billions) compiles
+    to a broadcast bitmap; the bloom test eliminates ~all clean rows
+    in-place, and the confirm anti-join's left side is only the
+    bloom-positive sliver (true contaminants + ~1e-4 false positives),
+    which Spark broadcast-joins against the small set.  Net: zero
+    full-corpus shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "source", "n_chars", F.md5("text").alias("k"))
+    contam = d.where(F.col("source") == "src0").select(F.md5("text").alias("k"))
+    bloom = bloom_build(contam, "k")
+    probed = corpus.join(F.broadcast(bloom))
+    clean_fast = probed.where(~bloom_might_contain("bloom", "k")).select(
+        "doc_id", "source", "n_chars"
+    )
+    suspects = probed.where(bloom_might_contain("bloom", "k")).select(
+        "doc_id", "source", "n_chars", "k"
+    )
+    confirmed_clean = suspects.join(
+        F.broadcast(contam.distinct()), "k", "left_anti"
+    ).select("doc_id", "source", "n_chars")
+    return clean_fast.unionByName(confirmed_clean).orderBy("doc_id")
