@@ -1,0 +1,87 @@
+"""Weighted sampling without replacement — the data-mix curation
+primitive (upsample high-quality sources, downsample boilerplate) in a
+form that is deterministic, distributed, and oracle-checkable.
+
+Efraimidis–Spirakis (A-ES): draw u ~ U(0,1) per item, rank by
+``ln(u) / w`` descending, take the top k — exactly equivalent to
+sequential weighted sampling without replacement.  The uniform is NOT
+``rand()`` (irreproducible across retries/engines) but a content hash:
+the first 8 hex digits of ``md5(doc_id)`` scaled into (0,1) — the same
+derandomization the stratified sampler (``analytics.py``) uses, which
+is what makes a DuckDB oracle possible and what a 100 TB pipeline
+wants anyway (re-running a failed stage must not resample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+_K_PER_GROUP = 10
+
+# (hash32 + 0.5) / 2^32 ∈ (0, 1): the +0.5 keeps ln() finite at hash 0
+_SCALE = float(1 << 32)
+
+
+@register(
+    "sample_weighted_per_lang",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT lang, doc_id, n_chars,
+                   ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       + 0.5) / {_SCALE!r}) / n_chars AS es_key
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        ranked AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY es_key DESC, doc_id) AS rk
+            FROM keyed
+        )
+        SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS sample_rank
+        FROM ranked WHERE rk <= {_K_PER_GROUP}
+    """,
+    description=f"weighted sampling without replacement, {_K_PER_GROUP} "
+    "docs per language with probability proportional to n_chars "
+    "(Efraimidis-Spirakis ln(u)/w ranking): the uniform is md5-derived "
+    "from doc_id so the sample is reproducible across runs, retries and "
+    "engines; one window shuffle on lang, no driver-side state",
+)
+def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group under the A-ES key: one partitioned window.
+
+    Scale: the only shuffle is the window's hash partitioning on the
+    group key.  A skewed group (one language dominating a 100 TB
+    corpus) turns the window into a single-task sort — the fix at that
+    scale is the two-phase top-k (per-partition top-k, then merge),
+    which ``relational4``'s top-k pattern already implements; this
+    form is right while every group fits a task's sort spill budget.
+    The selection probability is exactly proportional to the weight;
+    ties on the double key are broken by doc_id for cross-engine
+    determinism (a tie requires an md5 collision in the top 32 bits
+    AND equal weights — broken deterministically anyway).
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h32 = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(_SCALE)
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= _K_PER_GROUP)
+        .select("lang", "doc_id", "n_chars", "sample_rank")
+    )
