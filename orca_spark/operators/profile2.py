@@ -48,3 +48,44 @@ def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.95, _PCT_ACCURACY).alias("price_p95"),
         F.percentile_approx("l_quantity", 0.5, _PCT_ACCURACY).alias("qty_p50"),
     )
+
+
+@register(
+    "profile_sketch_persist_union",
+    oracle=None,  # sketch binaries and estimates are engine-specific;
+    # estimate-vs-exact bounds are asserted in tests/test_approx.py
+    description="mergeable-sketch profiling: per-source Datasketches "
+    "HLL sketches (hll_sketch_agg over content hashes) PERSISTED to "
+    "parquet, read back, and hll_union_agg'd into the corpus-wide "
+    "distinct estimate — the incremental shape where each ingest batch "
+    "stores model-sized sketches and global cardinality never rescans "
+    "history; emits per-source estimates plus the ALL union row",
+)
+def profile_sketch_persist_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why this exists next to ``profile_lineitem_approx``: that op's
+    ``approx_count_distinct`` folds to ONE number per query —
+    re-profiling after every daily ingest rescans everything.  Storing
+    the per-batch HLL binaries instead makes the profile additive:
+    union(sketches) is exact over the sketch algebra, so day N's global
+    profile costs one scan of N model-sized rows, not N days of data.
+    """
+    from orca_spark.operators.io_ops import scratch_path
+
+    docs = load(spark, sf_dir, "documents")
+    sketches = docs.groupBy("source").agg(
+        F.hll_sketch_agg(F.md5("text")).alias("sk"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    path = scratch_path("hll_sketches", sf_dir)
+    sketches.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    per_source = back.select(
+        "source",
+        F.hll_sketch_estimate("sk").alias("distinct_est"),
+        "n_docs",
+    )
+    merged = back.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_est"),
+        F.sum("n_docs").alias("n_docs"),
+    ).select(F.lit("ALL").alias("source"), "distinct_est", "n_docs")
+    return per_source.unionByName(merged).orderBy("source")

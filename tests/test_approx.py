@@ -66,3 +66,31 @@ def test_profile_lineitem_approx_accuracy(spark, sf_dir):
         (got.qty_p50, exact.qty_p50),
     ]:
         assert abs(a - e) / e < 0.01, (a, e)
+
+
+def test_sketch_union_matches_exact_distincts(spark):
+    """Persisted per-source sketches and their union estimate the exact
+    per-source / global distinct text-hash counts within HLL error."""
+    from pyspark.sql import functions as F
+
+    from orca_spark.operators.profile2 import profile_sketch_persist_union
+    from orca_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.source: r.distinct_est
+        for r in profile_sketch_persist_union(spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents")
+    exact_global = docs.select(F.md5("text")).distinct().count()
+    exact_src = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct(F.md5("text")).alias("n"))
+        .collect()
+    }
+    assert abs(got["ALL"] - exact_global) / exact_global < 0.05
+    for s, n in exact_src.items():
+        assert abs(got[s] - n) / n < 0.05, (s, got[s], n)
+    # the union row must cover every per-source sketch
+    assert got["ALL"] >= max(v for k, v in got.items() if k != "ALL")
