@@ -30,6 +30,13 @@ def test_oracles_are_subset_with_known_exceptions():
         "embedding_near_dup_pairs_gram",
         "semantic_vs_lexical_dedup_bucketed",
         "profile_lineitem_approx",
+        # iterative refinement (tests/test_clustering.py: inertia
+        # monotonicity + planted-cluster purity + trainer agreement)
+        "embeddings_kmeans_distributed",
+        "embeddings_kmeans_vs_sampled",
+        # sketch estimates are engine-specific (tests/test_approx.py:
+        # estimate-vs-exact bounds incl. the persisted-union path)
+        "profile_sketch_persist_union",
     }, oracleless
 
 
