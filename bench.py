@@ -47,6 +47,13 @@ HEADLINE = [
     # BLAS-scored near-dup form (vs the expression-scored ivf sibling)
     "multimodal_ppm_decode",
     "embedding_near_dup_pairs_gram",
+    # round-5 additions: the new LLM-pipeline scale paths — segment-level
+    # boilerplate removal, bloom-pruned decontamination, full-corpus
+    # Lloyd's, and vocabulary/OOV scoring
+    "dedup_line_level",
+    "dedup_bloom_decontaminate",
+    "embeddings_kmeans_distributed",
+    "text_vocab_oov",
 ]
 
 

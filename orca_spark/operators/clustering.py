@@ -46,7 +46,11 @@ _ITERS = 5
 
 
 def kmeans_fit(
-    emb: DataFrame, k: int = _K, iters: int = _ITERS, dim: int = _DIM
+    emb: DataFrame,
+    k: int = _K,
+    iters: int = _ITERS,
+    dim: int = _DIM,
+    compute_inertia: bool = True,
 ) -> tuple[list[tuple[int, list[float]]], list[float]]:
     """Full-corpus Lloyd's: returns (centroids, per-iteration inertia).
 
@@ -67,15 +71,19 @@ def kmeans_fit(
         cents = _recompute(seeded, k, dim, prev=None)
         inertia: list[float] = []
         for _ in range(iters):
-            # convergence signal: sum over rows of min_c ‖x − c‖², via the
-            # SAME struct-sort literal expression the assign path codegens
-            # (‖x‖² added back outside the argmin) — one agg job per round
-            stats = emb.agg(
-                F.sum(
-                    _min_d2_sql(cents) + dot("e", "e", validated=True)
-                ).alias("inertia")
-            ).collect()[0]
-            inertia.append(float(stats["inertia"]))
+            if compute_inertia:
+                # convergence signal: sum over rows of min_c ‖x − c‖², via
+                # the SAME struct-sort literal expression the assign path
+                # codegens (‖x‖² added back outside the argmin) — one agg
+                # job per round. Fixed-iteration fits skip it: it is a
+                # full extra corpus scan per round bought purely for the
+                # convergence readout.
+                stats = emb.agg(
+                    F.sum(
+                        _min_d2_sql(cents) + dot("e", "e", validated=True)
+                    ).alias("inertia")
+                ).collect()[0]
+                inertia.append(float(stats["inertia"]))
             assigned = ivf_assign(emb, cents, nprobe=1).select(
                 "e", F.col("clusters")[0].alias("cid")
             )
@@ -105,9 +113,15 @@ def _recompute(
     """New centroids: per-(cid, dim) means via one exploded aggregation.
 
     Output is k×dim rows — model-sized, safe to collect at any corpus
-    scale.  A cluster that captured no rows keeps its previous centroid
-    (or, at seed time, the zero vector — impossible with vec_id-modulo
-    seeding on a non-empty corpus).
+    scale.  (Measured alternative: ``dim`` parallel ``sum(e[i])``
+    column aggregates shuffle less — k rows of partial sums vs n·dim
+    exploded rows — but ran 1.5× SLOWER end-to-end at sf0.1: 64 wide
+    sum expressions with per-row bounds checks lose to the exploded
+    hash-agg's tight generate+combine loop.  Keep the measured
+    winner; revisit only with a profile at real scale.)  A cluster
+    that captured no rows keeps its previous centroid (or, at seed
+    time, the zero vector — impossible with vec_id-modulo seeding on
+    a non-empty corpus).
     """
     means = (
         assigned.select("cid", F.posexplode("e").alias("d", "v"))
@@ -142,7 +156,7 @@ def _recompute(
 )
 def embeddings_kmeans_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
-    cents, _ = kmeans_fit(emb)
+    cents, _ = kmeans_fit(emb, compute_inertia=False)
     sizes = (
         ivf_assign(emb, cents, nprobe=1)
         .select(F.col("clusters")[0].alias("cluster_id"))
@@ -169,7 +183,7 @@ def embeddings_kmeans_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def embeddings_kmeans_vs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
-    full, _ = kmeans_fit(emb)
+    full, _ = kmeans_fit(emb, compute_inertia=False)
     sampled = kmeans_centroids(emb, k=_K, cache_key=sf_dir)
     rows = []
     smap = dict(sampled)

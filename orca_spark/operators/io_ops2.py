@@ -235,3 +235,55 @@ def parquet_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
     )
+
+
+@register(
+    "json_corrupt_quarantine",
+    oracle="""
+        SELECT 'clean' AS status,
+               count(*) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT 'quarantined' AS status,
+               count(*) AS n,
+               NULL AS sum_doc_id
+        FROM documents WHERE doc_id % 10 = 0
+    """,
+    description="corrupt-record quarantine ingest: a JSON-lines batch "
+    "with every 10th line deterministically mangled is read PERMISSIVE "
+    "with columnNameOfCorruptRecord — malformed rows land in the "
+    "quarantine column with the raw line preserved (nothing is "
+    "silently dropped, nothing aborts the job), clean rows parse "
+    "typed; the oracle recomputes both populations from the mangling "
+    "rule. The ingest contract every large-scale pipeline needs: "
+    "row-level fault isolation, not job-level failure",
+)
+def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    path = scratch_path("json_corrupt", sf_dir)
+    line = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("CORRUPT "), F.col("text")),
+    ).otherwise(F.to_json(F.struct("doc_id", "text", "lang")))
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(path)
+    return (
+        back.select(
+            F.when(F.col("_corrupt").isNull(), "clean")
+            .otherwise("quarantined")
+            .alias("status"),
+            "doc_id",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # doc_id is null on quarantined rows, so the sum is NULL
+            # there by SQL semantics — matching the oracle's literal NULL
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )

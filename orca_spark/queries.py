@@ -28,7 +28,13 @@ from orca_spark.operators import (  # noqa: F401
 # New in r05 — never driver-verified, so they sit inside the 50-slot
 # prefix ahead of the multi-round-green relational7/pandas/bucketing
 # families (every member of which has a green r04 row).
-from orca_spark.operators import dedup3, clustering, sampling, text7  # noqa: F401
+from orca_spark.operators import (  # noqa: F401
+    dedup3,
+    clustering,
+    sampling,
+    text7,
+    timeseries,
+)
 
 from orca_spark.operators import (  # noqa: F401
     relational7,
