@@ -177,3 +177,69 @@ def test_term_weighting_plans_stay_jvm_side(spark):
         assert "Broadcast" in p, f"{name} shuffles its scalar statistics"
         for col in ["lang", "source", "n_chars"]:
             assert f"{col}:" not in p, f"{name} scan reads {col}"
+
+
+def test_round5_small_sides_broadcast(spark):
+    """The r05 operators' pruning sets (frequent segments, bloom bitmap,
+    vocabulary) are model-sized and must ride as broadcast build sides —
+    a shuffled anti-join here would move the corpus to prune it."""
+    for name in ["dedup_line_level", "text_vocab_oov"]:
+        p = plan_str(spark, name)
+        assert "BroadcastExchange" in p, name
+        # the anti-join against the broadcast set must be a broadcast join
+        assert "BroadcastHashJoin" in p and "LeftAnti" in p, name
+    p = plan_str(spark, "dedup_bloom_decontaminate")
+    assert "BroadcastExchange" in p
+    # the bloom probe itself is a filter over a broadcast nested-loop
+    # (single-row bitmap join); the exact confirm is broadcast too
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_round5_no_python_in_hot_paths(spark):
+    """Segment dedup, bloom probing, vocab/OOV, PSI, resampling and the
+    A-ES sampler are pure codegen'd SQL — no Python evaluation node may
+    appear in their plans."""
+    for name in [
+        "dedup_line_level",
+        "dedup_bloom_decontaminate",
+        "text_vocab_oov",
+        "source_length_psi",
+        "sample_weighted_per_lang",
+        "events_resample_ffill",
+    ]:
+        p = plan_str(spark, name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_bloom_fast_path_filters_without_join_on_big_side(spark):
+    """The clean-row fast path must be: scan -> broadcast bitmap ->
+    filter. No Exchange (shuffle) of the corpus may occur before the
+    bloom test prunes it."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from orca_spark.operators.dedup3 import bloom_build, bloom_might_contain
+    from orca_spark.tables import load
+
+    d = load(spark, SF_DIR, "documents")
+    corpus = d.select("doc_id", F.md5("text").alias("k"))
+    contam = d.limit(50).select(F.md5("text").alias("k"))
+    probed = corpus.join(F.broadcast(bloom_build(contam, "k")))
+    fast = probed.where(~bloom_might_contain("bloom", "k"))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fast.explain(mode="formatted")
+    p = buf.getvalue()
+    # the build side legitimately contains exchanges (the bitmap agg is
+    # position-set-sized); the contract is about the STREAMED corpus
+    # side: its subtree (the ':-' branch of the join) must go scan ->
+    # project -> join with no Exchange
+    tree = p.split("== Physical Plan ==")[1].split("\n\n")[0]
+    streamed = [ln for ln in tree.splitlines() if ln.lstrip().startswith(":")]
+    assert streamed, tree
+    assert not any("Exchange" in ln for ln in streamed), (
+        "corpus shuffled before bloom pruning:\n" + tree
+    )
