@@ -85,3 +85,50 @@ def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sample_rank") <= _K_PER_GROUP)
         .select("lang", "doc_id", "n_chars", "sample_rank")
     )
+
+
+@register(
+    "curriculum_order",
+    oracle="""
+        WITH dec AS (
+            SELECT doc_id, n_chars,
+                   ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CAST(decile AS BIGINT) AS decile,
+               CAST(row_number() OVER (
+                   ORDER BY decile, md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS curriculum_rank
+        FROM dec
+    """,
+    description="curriculum ordering: documents ranked easy-to-hard by "
+    "length decile (ntile with deterministic tie-break), shuffled "
+    "WITHIN each decile by content hash so every epoch's order is "
+    "reproducible without an RNG — the data-ordering primitive for "
+    "curriculum training schedules",
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile/rank are single-partition windows — correct here and
+    at any scale where the ORDERING ITSELF must be materialized as one
+    sequence. The distributed form at 100 TB: decile BOUNDS from
+    approx_percentile (one agg), assign deciles by comparison (no
+    window), then ``repartitionByRange(decile, h)`` +
+    ``sortWithinPartitions`` writes the curriculum as a key-clustered
+    layout (see parquet_compaction_roundtrip) whose files ARE the
+    schedule — no global sequence ever materializes."""
+    d = load(spark, sf_dir, "documents")
+    wd = W.orderBy("n_chars", "doc_id")
+    dec = d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(10).over(wd).cast("long").alias("decile"),
+    )
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    wr = W.orderBy("decile", h, "doc_id")
+    return dec.select(
+        "doc_id",
+        "n_chars",
+        "decile",
+        F.row_number().over(wr).cast("long").alias("curriculum_rank"),
+    )

@@ -1,0 +1,89 @@
+"""Similarity batch 3: contrastive-training data mining.
+
+Hard-negative mining is the embedding-training counterpart of dedup:
+for each anchor, the most-similar vectors with a DIFFERENT label are
+exactly the pairs a contrastive loss learns most from.  Structurally it
+is the brute-force top-k scan with a label-inequality predicate — the
+same broadcast-queries × streamed-corpus shape, so everything proven
+about that path (norms hoisted, single corpus scan, windowed top-k)
+carries over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from orca_spark.operators.similarity import _with_norm, dot, load_embeddings
+from orca_spark.registry import register
+
+_N_ANCHORS = 20
+_K_NEG = 3
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle=f"""
+        WITH a AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id < {_N_ANCHORS}
+        ),
+        c AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        scored AS (
+            SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+                   round(list_dot_product(a.e, c.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(c.e, c.e))), 4) AS cosine
+            FROM a JOIN c
+              ON a.label <> c.label
+        )
+        SELECT anchor_id, negative_id, cosine, rank
+        FROM (
+            SELECT anchor_id, negative_id, cosine,
+                   row_number() OVER (PARTITION BY anchor_id
+                                      ORDER BY cosine DESC, negative_id) AS rank
+            FROM scored
+        )
+        WHERE rank <= {_K_NEG}
+    """,
+    description=f"hard-negative mining for contrastive training: per "
+    f"anchor ({_N_ANCHORS} of them) the top-{_K_NEG} most-similar "
+    "vectors with a DIFFERENT label — broadcast anchors × one corpus "
+    "scan with the label-inequality folded into the join predicate, "
+    "then a per-anchor window top-k; the pairs a contrastive loss "
+    "learns most from, mined without any pairwise materialization",
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir, "label")
+    anchors = F.broadcast(
+        _with_norm(emb.where(F.col("vec_id") < _N_ANCHORS), "an").select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("a_label"),
+            F.col("e").alias("ae"),
+            "an",
+        )
+    )
+    scored = (
+        _with_norm(emb, "en")
+        .join(anchors, F.col("a_label") != F.col("label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round(
+                dot("ae", "e", validated=True) / (F.col("an") * F.col("en")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _K_NEG)
+        .select("anchor_id", "negative_id", "cosine", "rank")
+    )

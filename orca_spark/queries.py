@@ -34,13 +34,14 @@ from orca_spark.operators import (  # noqa: F401
     sampling,
     text7,
     timeseries,
+    profile2,  # r05 adds profile_sketch_persist_union — keep in prefix
+    similarity3,
 )
 
 from orca_spark.operators import (  # noqa: F401
     relational7,
     pandas_ops,
     bucketing,
-    profile2,
 )
 
 # Long-verified tail (green rows in r01-r04, or no-oracle scale paths
