@@ -19,7 +19,7 @@ from orca_spark.registry import REGISTRY, QuerySpec
 from orca_spark.operators import similarity2, similarity  # noqa: F401
 from orca_spark.operators import text6  # noqa: F401  (new in r05: TF-IDF/BM25)
 from orca_spark.operators import multimodal  # noqa: F401
-from orca_spark.streaming import jobs, jobs3, jobs2  # noqa: F401
+from orca_spark.streaming import jobs, jobs3, jobs2, jobs4  # noqa: F401
 from orca_spark.operators import (  # noqa: F401
     io_ops,
     io_ops2,

@@ -102,3 +102,33 @@ def test_watermark_drops_late_data_for_finalized_windows(spark, tmp_path):
     # the 13:00 and 14:00 windows are still open at the final watermark
     # (13:50 < their window ends) and must not emit
     assert len(got) == 3, got
+
+
+def test_incremental_ingest_second_run_reads_only_new_files(spark):
+    """The checkpoint contract: run 2 must process exactly the rows of
+    the newly-arrived files, never reprocess run 1's."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from orca_spark.operators.io_ops import scratch_path
+    from orca_spark.streaming.jobs4 import run_available_now
+    from orca_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    base = scratch_path("incr_ingest_test", SF_DIR)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = load(spark, SF_DIR, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    n_a, n_b = a.count(), b.count()
+
+    a.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    assert run_available_now(spark, in_dir, schema, out_dir, ckpt) == n_a
+    b.write.mode("append").parquet(in_dir)
+    assert run_available_now(spark, in_dir, schema, out_dir, ckpt) == n_b
+    # a third run with nothing new processes nothing
+    assert run_available_now(spark, in_dir, schema, out_dir, ckpt) == 0
+    assert spark.read.parquet(out_dir).count() == n_a + n_b
