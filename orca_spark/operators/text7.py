@@ -193,3 +193,67 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
     )
     return terms.groupBy("source").agg(psi.alias("psi"))
+
+
+@register(
+    "source_token_cosine",
+    oracle="""
+        WITH c AS (
+            SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+            FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            GROUP BY source, token
+        ),
+        n AS (
+            SELECT source, sqrt(sum(c * c)) AS nrm FROM c GROUP BY source
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               round(sum(a.c * b.c) / (max(na.nrm) * max(nb.nrm)), 6) AS cosine
+        FROM c a
+        JOIN c b ON a.token = b.token AND a.source < b.source
+        JOIN n na ON na.source = a.source
+        JOIN n nb ON nb.source = b.source
+        GROUP BY a.source, b.source
+    """,
+    description="pairwise source similarity: cosine between per-source "
+    "unigram count vectors — corpus reduces to a vocabulary-sized "
+    "(source, token) count table first (one map-side-combinable "
+    "shuffle), the pairwise stage then joins that MODEL-sized table "
+    "with itself on token; the mix-monitoring view that shows which "
+    "ingest sources are near-duplicates of each other",
+)
+def source_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = c.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = c.select(
+        F.col("source").alias("source_a"), "token", F.col("c").alias("ca")
+    )
+    b = c.select(
+        F.col("source").alias("source_b"), "token", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = F.broadcast(n.select(F.col("source").alias("source_a"), F.col("nrm").alias("na")))
+    nb = F.broadcast(n.select(F.col("source").alias("source_b"), F.col("nrm").alias("nb")))
+    return (
+        dots.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )
