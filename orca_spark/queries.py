@@ -12,10 +12,15 @@ from orca_spark.registry import REGISTRY, QuerySpec
 # queries that have never seen a driver row, embedding_near_dup_pairs_gram
 # and semantic_vs_lexical_dedup_bucketed, and this round removed the
 # per-pair width guards from every scoring join — then multimodal (PPM
-# CRLF header fix), the streaming jobs (state store switched to RocksDB),
-# and the io/relational/pandas families whose loads ride the reworked
-# widen() — then the long-verified tail, every member of which has a
-# green driver row from r01-r04).
+# CRLF header fix), the streaming jobs (state store switched to RocksDB,
+# incremental-ingest job new in r05), and the io/relational/pandas
+# families whose loads ride the reworked widen() — then the long-verified
+# tail, every member of which has a green driver row from r01-r04).
+#
+# r05 prefix budget: slots 0-49 are exactly filled — every query that has
+# never seen a driver row sits at slot <= 49 (checked by
+# tests/test_registry_contract.py's ordering; recount before adding any
+# registration to a module imported above the relational7 block).
 from orca_spark.operators import similarity2, similarity  # noqa: F401
 from orca_spark.operators import text6  # noqa: F401  (new in r05: TF-IDF/BM25)
 from orca_spark.operators import multimodal  # noqa: F401
@@ -43,6 +48,10 @@ from orca_spark.operators import (  # noqa: F401
     pandas_ops,
     bucketing,
 )
+
+# Registered past the full r05 prefix — driver verification lands next
+# round; locally oracle-gated now (tests/test_queries_oracle.py).
+from orca_spark.streaming import jobs5  # noqa: F401
 
 # Long-verified tail (green rows in r01-r04, or no-oracle scale paths
 # whose driver check is rows-only and whose real gate is the local

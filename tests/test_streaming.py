@@ -132,3 +132,21 @@ def test_incremental_ingest_second_run_reads_only_new_files(spark):
     # a third run with nothing new processes nothing
     assert run_available_now(spark, in_dir, schema, out_dir, ckpt) == 0
     assert spark.read.parquet(out_dir).count() == n_a + n_b
+
+
+def test_tws_gated_or_matching_oracle(spark, duck):
+    """transformWithStateInPandas registers only where its protobuf
+    dependency works; when available it must match the batch oracle,
+    when not the registry must not advertise it."""
+    import pytest as _pytest
+
+    from orca_spark.registry import REGISTRY
+    from orca_spark.streaming.jobs5 import tws_available
+
+    if not tws_available():
+        assert "streaming_tws_user_running_max" not in REGISTRY
+        _pytest.skip("TWS protobuf dependency unavailable in this env")
+    from tests.conftest import SF_DIR, compare_query
+
+    spec = REGISTRY["streaming_tws_user_running_max"]
+    compare_query(spark, duck, spec.fn, spec.oracle, SF_DIR)
