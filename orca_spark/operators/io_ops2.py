@@ -287,3 +287,89 @@ def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("sum_doc_id"),
         )
     )
+
+
+def zorder_key(
+    xcol: str,
+    ycol: str,
+    xbounds: tuple[int, int],
+    ybounds: tuple[int, int],
+    bits: int = 8,
+):
+    """Morton (z-order) interleave of two int keys, min-max scaled.
+
+    Each key is first scaled to [0, 2^bits) from its (min, max) bounds —
+    WITHOUT this the wider-domain key owns all the high interleaved bits
+    and the curve degenerates to a single-key sort (the column-stats
+    step every real z-order implementation performs).  Bit i of scaled x
+    lands at position 2i, of scaled y at 2i+1 — one codegen'd
+    expression, no UDF.
+    """
+
+    def scaled(col: str, lo: int, hi: int) -> str:
+        span = max(1, hi - lo)
+        return (
+            f"CAST((CAST({col} AS DOUBLE) - {lo}D) * {(1 << bits) - 1}D"
+            f" / {span}D AS BIGINT)"
+        )
+
+    sx, sy = scaled(xcol, *xbounds), scaled(ycol, *ybounds)
+    terms = " | ".join(
+        f"(shiftleft(shiftright({sx}, {i}) & 1, {2 * i})"
+        f" | shiftleft(shiftright({sy}, {i}) & 1, {2 * i + 1}))"
+        for i in range(bits)
+    )
+    return F.expr(terms)
+
+
+@register(
+    "zorder_layout_roundtrip",
+    oracle="""
+        SELECT count(*)                  AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        WHERE l_orderkey <= 1000 AND l_partkey <= 100
+    """,
+    description="z-order (Morton) layout: lineitem rewritten clustered "
+    "on the bit-interleave of (l_orderkey, l_partkey) via "
+    "repartitionByRange + sort on the z-key — ONE layout that serves "
+    "min/max file pruning for predicates on EITHER or BOTH dimensions "
+    "(single-key clustering serves only its own key); the read-back "
+    "two-dimensional range query must match the raw-table oracle",
+)
+def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-dimensional sibling of parquet_compaction_roundtrip.
+    Sorting by (l_orderkey, l_partkey) lexicographically makes partkey
+    stats useless (every file spans all partkeys within an orderkey run);
+    the z-curve keeps both dimensions locally contiguous so both
+    columns' per-file min/max ranges stay narrow — the standard layout
+    trick (Delta OPTIMIZE ZORDER) expressed with stock Spark: an
+    interleave expression, a range repartition, a sort."""
+    li = load(spark, sf_dir, "lineitem")
+    path = scratch_path("zorder_layout", sf_dir)
+    # column stats for the scaling — one bounded agg, the same stats a
+    # table format already has in its metadata
+    b = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    (
+        li.withColumn(
+            "_z",
+            zorder_key(
+                "l_orderkey", "l_partkey", (b[0], b[1]), (b[2], b[3])
+            ),
+        )
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        (F.col("l_orderkey") <= 1000) & (F.col("l_partkey") <= 100)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )

@@ -330,3 +330,65 @@ def test_compaction_layout_key_clustered(spark):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, f"overlapping file key ranges: {ranges}"
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The point of the z-curve: per-file min/max ranges stay narrow on
+    BOTH keys, where a lexicographic sort leaves the secondary key's
+    ranges spanning ~the whole domain (unprunable)."""
+    from pyspark.sql import functions as F
+
+    from orca_spark.operators.io_ops import scratch_path
+    from orca_spark.operators.io_ops2 import zorder_key
+    from orca_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    zpath = scratch_path("zorder_prune_z", SF_DIR)
+    lexpath = scratch_path("zorder_prune_lex", SF_DIR)
+    (
+        li.withColumn(
+            "_z",
+            zorder_key("l_orderkey", "l_partkey", (b[0], b[1]), (b[2], b[3])),
+        )
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(zpath)
+    )
+    (
+        li.repartitionByRange(8, "l_orderkey", "l_partkey")
+        .sortWithinPartitions("l_orderkey", "l_partkey")
+        .write.mode("overwrite")
+        .parquet(lexpath)
+    )
+
+    def partkey_spans(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        spans = []
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min("l_partkey"), F.max("l_partkey"))
+                .collect()[0]
+            )
+            spans.append(r[1] - r[0])
+        return spans
+
+    domain = (
+        li.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
+    )
+    z_spans, lex_spans = partkey_spans(zpath), partkey_spans(lexpath)
+    # lexicographic: the secondary key spans ~the whole domain per file
+    assert sum(lex_spans) / len(lex_spans) > 0.9 * domain
+    # z-order: materially narrower on average -> min/max pruning works
+    assert sum(z_spans) / len(z_spans) < 0.7 * domain, (z_spans, domain)
