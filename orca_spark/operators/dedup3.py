@@ -260,3 +260,71 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(contam.distinct()), "k", "left_anti"
     ).select("doc_id", "source", "n_chars")
     return clean_fast.unionByName(confirmed_clean).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster survivor selection — the end-to-end "cleaned corpus"
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_near_cluster_survivors",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+                  FROM documents) a
+            JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+                  FROM documents) b
+              ON a.doc_id < b.doc_id
+             AND len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+            UNION SELECT doc_id, doc_id FROM documents
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labeled AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        ranked AS (
+            SELECT l.cluster_id, l.doc_id, d.n_chars,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY d.n_chars DESC, l.doc_id) AS rn,
+                   count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+            FROM labeled l JOIN documents d USING (doc_id)
+        )
+        SELECT cluster_id, doc_id, n_chars,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+    """,
+    description="near-dup dedup end-to-end: cluster (>=0.9 Jaccard "
+    "connected components), then keep ONE canonical doc per cluster — "
+    "highest quality proxy (n_chars), doc_id tie-break — with the "
+    "cluster size for loss accounting; the composition a user actually "
+    "runs to emit a cleaned corpus, one window over the labeled docs "
+    "on top of the CC machinery",
+)
+def dedup_near_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from orca_spark.operators.dedup import dedup_connected_components
+
+    cc = dedup_connected_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = cc.join(d, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = W.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "n_chars", "n_members")
+    )
