@@ -39,7 +39,6 @@ from orca_spark.operators import (  # noqa: F401
     sampling,
     text7,
     timeseries,
-    profile2,  # r05 adds profile_sketch_persist_union — keep in prefix
     similarity3,
 )
 
@@ -50,7 +49,11 @@ from orca_spark.operators import (  # noqa: F401
 )
 
 # Registered past the full r05 prefix — driver verification lands next
-# round; locally oracle-gated now (tests/test_queries_oracle.py).
+# round; locally gated now (oracle / behavior tests).
+# profile2: profile_lineitem_approx already has its r04 driver row, and
+# the new sketch-union query is bounds-tested in test_approx.py — the
+# least-harmed deferral when the prefix overflowed by one.
+from orca_spark.operators import profile2  # noqa: F401
 from orca_spark.streaming import jobs5  # noqa: F401
 
 # Long-verified tail (green rows in r01-r04, or no-oracle scale paths
