@@ -102,13 +102,22 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.split("text", " ").alias("t"))
-    n_segments = F.ceil(F.size("t") * F.lit(1.0) / SEG_W).cast("long")
+    # totality: size(NULL) is -1, and sequence(0, -1) DESCENDS — a NULL
+    # text must yield 0 segments, not a garbage negative-index window
+    n_segments = (
+        F.when(F.col("t").isNull(), F.lit(0))
+        .otherwise(F.ceil(F.size("t") * F.lit(1.0) / SEG_W))
+        .cast("long")
+    )
     base = tk.select("doc_id", "t", n_segments.alias("n_segments"))
     # fixed-width token windows; slice() clamps the final partial window
-    segs = F.transform(
-        F.sequence(F.lit(0), F.col("n_segments") - 1),
-        lambda i: F.concat_ws(" ", F.slice("t", i * SEG_W + 1, SEG_W)),
-    )
+    segs = F.when(
+        F.col("n_segments") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_segments") - 1),
+            lambda i: F.concat_ws(" ", F.slice("t", i * SEG_W + 1, SEG_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     flat = base.select(
         "doc_id", F.posexplode(segs).alias("idx", "seg")
     )

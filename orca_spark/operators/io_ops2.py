@@ -262,9 +262,11 @@ def parquet_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     path = scratch_path("json_corrupt", sf_dir)
+    # coalesce: concat(NULL) would make the whole line NULL, and the
+    # text sink rejects NULL values — a NULL-text doc still quarantines
     line = F.when(
         F.col("doc_id") % 10 == 0,
-        F.concat(F.lit("CORRUPT "), F.col("text")),
+        F.concat(F.lit("CORRUPT "), F.coalesce(F.col("text"), F.lit(""))),
     ).otherwise(F.to_json(F.struct("doc_id", "text", "lang")))
     d.select(line.alias("value")).write.mode("overwrite").text(path)
     back = spark.read.schema(
@@ -272,6 +274,12 @@ def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", "_corrupt"
     ).json(path)
+    # Spark's analyzer forbids queries whose pruned scan touches ONLY the
+    # corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD
+    # _COLUMN); the documented pattern is to materialize the parsed rows
+    # first — localCheckpoint severs the file-source lineage so the
+    # downstream aggregate is free to reference _corrupt alone
+    back = back.localCheckpoint(eager=False)
     return (
         back.select(
             F.when(F.col("_corrupt").isNull(), "clean")

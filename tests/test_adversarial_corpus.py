@@ -57,6 +57,16 @@ _DOC_QUERIES = [
     "multimodal_ppm_decode",
     "multimodal_decode_features",
     "multimodal_binaryfile_ingest",
+    # round-5 documents-driven additions
+    "dedup_line_level",
+    "dedup_bloom_decontaminate",
+    "dedup_near_cluster_survivors",
+    "sample_weighted_per_lang",
+    "curriculum_order",
+    "text_vocab_oov",
+    "source_length_psi",
+    "source_token_cosine",
+    "json_corrupt_quarantine",
 ]
 
 
