@@ -46,7 +46,8 @@ def bad_width_dir(tmp_path_factory):
     "name",
     ["similarity_norms", "embedding_near_dup_pairs", "embedding_label_centroids",
      "similarity_brute_topk", "embedding_near_dup_pairs_ivf", "similarity_pq_topk",
-     "similarity_ivf_topk", "similarity_lsh_topk"],
+     "similarity_ivf_topk", "similarity_lsh_topk",
+     "embeddings_kmeans_distributed", "contrastive_hard_negatives"],
 )
 def test_null_embeddings_are_excluded_not_fatal(spark, null_vec_dir, name):
     df = queries()[name](spark, null_vec_dir)
@@ -56,7 +57,9 @@ def test_null_embeddings_are_excluded_not_fatal(spark, null_vec_dir, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["embedding_near_dup_pairs", "similarity_lsh_topk"]
+    "name",
+    ["embedding_near_dup_pairs", "similarity_lsh_topk",
+     "embeddings_kmeans_distributed", "contrastive_hard_negatives"],
 )
 def test_wrong_width_embedding_raises_loudly(spark, bad_width_dir, name):
     with pytest.raises(Exception, match="expected array width 64"):
