@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_bloom_decontaminate",
     "embeddings_kmeans_distributed",
     "text_vocab_oov",
+    "contrastive_hard_negatives",
+    "zorder_layout_roundtrip",
 ]
 
 

@@ -243,3 +243,35 @@ def test_bloom_fast_path_filters_without_join_on_big_side(spark):
     assert not any("Exchange" in ln for ln in streamed), (
         "corpus shuffled before bloom pruning:\n" + tree
     )
+
+
+def test_kmeans_literal_assign_is_shuffle_free(spark):
+    """The k<=64 assignment pass must be a codegen'd literal argmin over
+    the scan — no Exchange, no join; the whole per-iteration corpus cost
+    is one map-side pass."""
+    import contextlib
+    import io as _io
+
+    from orca_spark.operators.similarity import (
+        ivf_assign_literal,
+        kmeans_centroids,
+        load_embeddings,
+    )
+
+    emb = load_embeddings(spark, SF_DIR)
+    cents = kmeans_centroids(emb, k=8, cache_key=SF_DIR)
+    assigned = ivf_assign_literal(emb, cents, nprobe=1)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_contrastive_broadcasts_anchors(spark):
+    """Hard-negative mining must stream the corpus once against
+    broadcast anchors — same contract as similarity_brute_topk."""
+    p = plan_str(spark, "contrastive_hard_negatives")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
