@@ -107,3 +107,77 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt_events").alias("cnt_events"),
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+@register(
+    "skew_key_profile",
+    oracle="""
+        WITH kc AS (
+            SELECT o_custkey AS key, count(*) AS c
+            FROM orders GROUP BY o_custkey
+        ),
+        stats AS (
+            SELECT CAST(max(c) AS DOUBLE) / avg(c) AS skew_ratio FROM kc
+        )
+        SELECT key, c AS n_rows,
+               round((SELECT skew_ratio FROM stats), 4) AS skew_ratio
+        FROM kc
+        ORDER BY c DESC, key
+        LIMIT 10
+    """,
+    description="join-key skew profiler: per-key counts (one partial-agg "
+    "pass), the top heavy hitters via TakeOrdered (never a global "
+    "sort), and the max/avg skew ratio — the diagnostic that decides "
+    "whether a join needs salting or AQE skew splitting BEFORE it runs; "
+    "at 100 TB this one cheap pass is how the 16-bucket salt factor in "
+    "salted_join/salted_aggregate gets chosen",
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = kc.agg(
+        (F.max("n_rows").cast("double") / F.avg("n_rows")).alias("skew_ratio")
+    )
+    return (
+        kc.crossJoin(F.broadcast(stats))
+        .select("key", "n_rows", F.round("skew_ratio", 4).alias("skew_ratio"))
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(10)
+    )
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+        WITH a AS (SELECT o_custkey AS key, count(*) AS ca
+                   FROM orders GROUP BY o_custkey),
+        b AS (SELECT c_custkey AS key, count(*) AS cb
+              FROM customer GROUP BY c_custkey)
+        SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS join_rows,
+               CAST((SELECT count(*) FROM orders) AS BIGINT)   AS left_rows,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS right_rows
+        FROM a JOIN b ON a.key = b.key
+    """,
+    description="exact pre-join cardinality: sum over shared keys of "
+    "count_left x count_right, computed from the two key-count tables "
+    "(key-cardinality-sized, not row-sized) — predicts the join's "
+    "output rows WITHOUT running the join; the guard that catches an "
+    "accidental many-to-many blow-up before it costs a 100 TB shuffle",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    a = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = c.groupBy(F.col("c_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    est = a.join(b, "key").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("join_rows")
+    )
+    lr = o.agg(F.count(F.lit(1)).cast("long").alias("left_rows"))
+    rr = c.agg(F.count(F.lit(1)).cast("long").alias("right_rows"))
+    return est.crossJoin(F.broadcast(lr)).crossJoin(F.broadcast(rr))
