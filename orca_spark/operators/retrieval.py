@@ -1,0 +1,143 @@
+"""Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) and a
+semantic (embedding-cosine) ranking — the standard two-tower retrieval
+composition (RRF, k=60), used in corpus slicing and retrieval-based
+decontamination where neither signal alone suffices.
+
+Both rankings reuse proven components: ``text6.bm25_scores_df`` for the
+lexical list and the broadcast-query cosine scan from the similarity
+family for the semantic list.  Fusion is rank-only (RRF's point): no
+score calibration needed across the two signals.  Each ranking is
+computed on ROUNDED scores with id tie-breaks, so the fused output is
+deterministic across engines and the whole operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from orca_spark.operators.similarity import _with_norm, dot, load_embeddings
+from orca_spark.operators.text6 import _BM25_QUERY, bm25_scores_df
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+_RRF_K = 60
+_TOP = 10
+_QUERY_VEC_ID = 0  # deterministic query: document 0's embedding
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        tok AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)
+            WHERE w <> ''
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        tfq AS (
+            SELECT doc_id, w, count(*) AS tf FROM tok
+            WHERE w IN {str(tuple(_BM25_QUERY))}
+            GROUP BY 1, 2
+        ),
+        dfq AS (SELECT w, count(*) AS df FROM tfq GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM docs),
+        avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        lex AS (
+            SELECT tfq.doc_id,
+                   round(sum(
+                       ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * tfq.tf * (1.2 + 1.0)
+                       / (tfq.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl.dl / avgdl.avgdl))
+                   ), 4) AS bm25
+            FROM tfq
+            JOIN dl ON dl.doc_id = tfq.doc_id
+            JOIN dfq ON dfq.w = tfq.w
+            CROSS JOIN n CROSS JOIN avgdl
+            GROUP BY tfq.doc_id
+        ),
+        lexr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM lex
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+            WHERE vec_id = {_QUERY_VEC_ID} AND embedding IS NOT NULL
+        ),
+        sem AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.embedding IS NOT NULL
+        ),
+        semr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+            FROM sem
+        )
+        SELECT doc_id,
+               CAST(sem_rank AS BIGINT) AS sem_rank,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               round(coalesce(1.0 / ({_RRF_K} + sem_rank), 0)
+                     + coalesce(1.0 / ({_RRF_K} + lex_rank), 0), 6) AS rrf
+        FROM semr FULL JOIN lexr USING (doc_id)
+        ORDER BY rrf DESC, doc_id
+        LIMIT {_TOP}
+    """,
+    description=f"hybrid retrieval via reciprocal-rank fusion (k="
+    f"{_RRF_K}): BM25 ranking over the query terms {_BM25_QUERY} fused "
+    "with an embedding-cosine ranking against a fixed query vector — "
+    "rank-only fusion needs no score calibration across the two "
+    "signals; both lists rank on rounded scores with id tie-breaks so "
+    "the fused top-10 is deterministic and fully oracle-checked",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the lexical list reuses BM25's broadcast-scalars shape;
+    the semantic list is one broadcast-query corpus scan.  The global
+    rank windows run on LIST-sized inputs (scored candidates, not the
+    corpus — BM25 only emits matching docs) and the fused top-k
+    compiles to TakeOrdered.  For query BATCHES, both windows partition
+    by query_id and the same plan serves thousands of queries."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    emb = load_embeddings(spark, sf_dir)
+
+    lex = bm25_scores_df(docs)
+    wl = W.orderBy(F.col("bm25").desc(), "doc_id")
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+
+    q = F.broadcast(
+        _with_norm(emb.where(F.col("vec_id") == _QUERY_VEC_ID), "qn").select(
+            F.col("e").alias("qe"), "qn"
+        )
+    )
+    sem = _with_norm(emb, "en").crossJoin(q).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            dot("qe", "e", validated=True) / (F.col("qn") * F.col("en")), 4
+        ).alias("cos"),
+    )
+    ws = W.orderBy(F.col("cos").desc(), "doc_id")
+    semr = sem.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+
+    fused = semr.join(lexr, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lex_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "sem_rank", "lex_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_TOP)
+    )
