@@ -87,3 +87,40 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _K_NEG)
         .select("anchor_id", "negative_id", "cosine", "rank")
     )
+
+
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+        WITH flat AS (
+            SELECT u.d - 1 AS dim, u.v AS v
+            FROM (
+                SELECT unnest(list_transform(
+                           CAST(embedding AS DOUBLE[]),
+                           (x, i) -> {'d': i, 'v': x})) AS u
+                FROM embeddings WHERE embedding IS NOT NULL
+            )
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               round(avg(v), 6)         AS mean,
+               round(stddev_pop(v), 6)  AS std,
+               round(min(v), 6)         AS lo,
+               round(max(v), 6)         AS hi
+        FROM flat GROUP BY dim
+    """,
+    description="per-dimension embedding corpus statistics (mean/std/"
+    "min/max over each of the 64 dims): one posexplode + map-side-"
+    "combined aggregation producing a model-sized (dim-count) result — "
+    "the normalization/whitening statistics pass that precedes "
+    "standardized similarity search, and the per-dim drift monitor "
+    "between embedding model versions",
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    flat = emb.select(F.posexplode("e").alias("dim", "v"))
+    return flat.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_pop("v"), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+    )
