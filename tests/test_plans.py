@@ -275,3 +275,24 @@ def test_contrastive_broadcasts_anchors(spark):
     p = plan_str(spark, "contrastive_hard_negatives")
     assert "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
+
+
+def test_diagnostics_and_retrieval_plans(spark):
+    """The r05 diagnostics must keep their scale shapes: heavy-hitter
+    top-k via TakeOrdered (never a global sort), partial aggregation
+    before every exchange, fused retrieval's final top-k likewise, and
+    no Python nodes anywhere."""
+    p = plan_str(spark, "skew_key_profile")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+    for name in [
+        "join_cardinality_estimate",
+        "embedding_dimension_stats",
+        "retrieval_hybrid_rrf",
+    ]:
+        p = plan_str(spark, name)
+        assert "partial_" in p, name
+        assert "BatchEvalPython" not in p, name
+    p = plan_str(spark, "retrieval_hybrid_rrf")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p  # query vector + BM25 scalars
