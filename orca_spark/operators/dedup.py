@@ -180,8 +180,13 @@ def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.expr(arr).alias("sig"))
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing any band bucket."""
+def banded_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows: each signature hashed per LSH band.
+
+    This is the PERSISTABLE form of the index — a corpus banded once can
+    be stored and probed by later batches (see dedup3's incremental
+    pipeline) without recomputing history's signatures.
+    """
     r = _K // _BANDS
     structs = ", ".join(
         "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
@@ -190,11 +195,16 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         )
         for b in range(_BANDS)
     )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket."""
+    banded = banded_buckets(sig)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

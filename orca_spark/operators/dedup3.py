@@ -337,3 +337,99 @@ def dedup_near_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("cluster_id", "doc_id", "n_chars", "n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=None,  # MinHash/LSH candidacy is probabilistic-by-design; the
+    # planted-dup recall and no-false-match properties are asserted in
+    # tests/test_dedup3.py
+    description="incremental near-dup: history's LSH band buckets are "
+    "built ONCE and persisted to parquet; a new batch bands its own "
+    "signatures and probes the stored index by (band, bucket) "
+    "equi-join, exact-verifying only matched history docs — dedup "
+    "against 100 TB of history at the cost of the NEW data plus the "
+    "collisions, never a history rescan (the batch analog of the "
+    "streaming watermarked dedup)",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch docs near-duplicating any history doc (>= 0.7 Jaccard).
+
+    The history half (even doc_ids) plays yesterday's indexed corpus;
+    the odd half is today's batch.  In production the index build runs
+    once per ingest and APPENDS its new rows — exactly the
+    `streaming_incremental_ingest` sink shape, with this operator as
+    the probe side.
+    """
+    from orca_spark.operators.dedup import (
+        _shingles,
+        _signatures_from_shingles,
+        banded_buckets,
+    )
+    from orca_spark.operators.io_ops import scratch_path
+
+    d = load(spark, sf_dir, "documents")
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+
+    # index build (the once-per-ingest job): history's banded buckets
+    idx_path = scratch_path("minhash_index", sf_dir)
+    banded_buckets(_signatures_from_shingles(_shingles(hist))).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+
+    # probe: band the new batch, equi-join the PERSISTED index
+    new_sh = _shingles(new).persist()
+    try:
+        new_banded = banded_buckets(_signatures_from_shingles(new_sh)).select(
+            F.col("doc_id").alias("new_doc"), "band", "bucket"
+        )
+        idx = spark.read.parquet(idx_path).select(
+            F.col("doc_id").alias("hist_doc"), "band", "bucket"
+        )
+        cand = (
+            new_banded.join(idx, ["band", "bucket"])
+            .select("new_doc", "hist_doc")
+            .distinct()
+        )
+        # exact verification touches ONLY matched history docs
+        hist_matched = hist.join(
+            cand.select(F.col("hist_doc").alias("doc_id")).distinct(), "doc_id"
+        )
+        hist_sh = _shingles(hist_matched)
+        inter = (
+            cand.join(new_sh.alias("na"), F.col("new_doc") == F.col("na.doc_id"))
+            .join(
+                hist_sh.alias("hb"),
+                (F.col("hist_doc") == F.col("hb.doc_id"))
+                & (F.col("na.sh") == F.col("hb.sh")),
+            )
+            .groupBy("new_doc", "hist_doc")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        za = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        zb = hist_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        jac = (
+            inter.join(za.alias("za"), F.col("new_doc") == F.col("za.doc_id"))
+            .join(zb.alias("zb"), F.col("hist_doc") == F.col("zb.doc_id"))
+            .select(
+                "new_doc",
+                "hist_doc",
+                (
+                    F.col("i")
+                    / (F.col("za.sz") + F.col("zb.sz") - F.col("i"))
+                ).alias("jraw"),
+            )
+        )
+        return (
+            jac.where(F.col("jraw") >= 0.7)
+            .select("new_doc", "hist_doc", F.round("jraw", 4).alias("jaccard"))
+            .orderBy("new_doc", "hist_doc")
+        )
+    finally:
+        new_sh.unpersist()

@@ -101,3 +101,34 @@ def test_line_level_total_on_driver_corpus(spark):
     out = dedup_line_level(spark, SF_DIR)
     assert out.count() == n_docs
     assert out.select("doc_id").distinct().count() == n_docs
+
+
+def test_incremental_minhash_finds_cross_batch_dup(spark, tmp_path):
+    """A new-batch doc near-duplicating a history doc must be found by
+    probing the persisted index; unique new docs must not match."""
+    from orca_spark.operators.dedup3 import dedup_minhash_incremental
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        # history (even ids)
+        (0, base),
+        (2, "completely different historic content one two three four five six seven"),
+        (4, "another unrelated historical document with its own tokens here now"),
+        # new batch (odd ids): 1 near-dups history doc 0; 3 and 5 are unique
+        (1, base.replace("kappa", "kappa2")),
+        (3, "fresh unseen text with novel vocabulary entirely distinct words"),
+        (5, "yet another brand new document sharing nothing with history at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = dedup_minhash_incremental(spark, str(tmp_path)).collect()
+    pairs = {(r.new_doc, r.hist_doc) for r in out}
+    assert (1, 0) in pairs, pairs
+    matched_new = {r.new_doc for r in out}
+    assert 3 not in matched_new and 5 not in matched_new
+    for r in out:
+        assert r.jaccard >= 0.7

@@ -37,6 +37,9 @@ def test_oracles_are_subset_with_known_exceptions():
         # sketch estimates are engine-specific (tests/test_approx.py:
         # estimate-vs-exact bounds incl. the persisted-union path)
         "profile_sketch_persist_union",
+        # LSH candidacy is probabilistic (tests/test_dedup3.py: planted
+        # cross-batch dup found, unique docs unmatched)
+        "dedup_minhash_incremental",
     }, oracleless
 
 
