@@ -40,6 +40,9 @@ def test_oracles_are_subset_with_known_exceptions():
         # LSH candidacy is probabilistic (tests/test_dedup3.py: planted
         # cross-batch dup found, unique docs unmatched)
         "dedup_minhash_incremental",
+        # schema-level metadata via the Python merge lattice
+        # (tests/test_schema_drift.py pins every classification)
+        "schema_drift_report",
     }, oracleless
 
 
