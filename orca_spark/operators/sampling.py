@@ -132,3 +132,68 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         F.row_number().over(wr).cast("long").alias("curriculum_rank"),
     )
+
+
+# per-source sampling multipliers for the registered mix: downsample the
+# noisy half of sources, upsample two high-value ones. Fractional parts
+# resolve per doc via the same md5-derived uniform as the samplers.
+_MIX = {"src0": 2.0, "src1": 1.5, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 1.0
+
+
+@register(
+    "corpus_mix_resample",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id, source,
+                   CASE source
+                       WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.5
+                       WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+                       ELSE {_MIX_DEFAULT!r} END AS mult,
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 0.5) / {float(1 << 32)!r} AS u
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source,
+                   CAST(floor(mult) AS BIGINT)
+                   + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END AS copies
+            FROM m
+        )
+        SELECT doc_id, source, CAST(t.c AS BIGINT) AS copy_id
+        FROM c, unnest(range(1, copies + 1)) AS t(c)
+    """,
+    description="deterministic mixture resampling: per-source "
+    "multipliers (2x/1.5x upsample, 0.5x/0.25x downsample) applied as "
+    "floor(m) guaranteed copies plus one md5-hash-thresholded extra "
+    "for the fractional part — E[copies] = m exactly, reproducible "
+    "across runs/engines, emitted as (doc, copy_id) rows via one "
+    "explode, no shuffle; the data-mixing primitive that reweights "
+    "sources for a training run",
+)
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    mult = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(m)) for s, m in _MIX.items()],
+        F.lit(_MIX_DEFAULT),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(float(1 << 32))
+    copies = F.floor(mult).cast("long") + F.when(
+        u < mult - F.floor(mult), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        d.select("doc_id", "source", copies.alias("copies"))
+        .where(F.col("copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("copies"))).alias(
+                "copy_id"
+            ),
+        )
+    )

@@ -257,3 +257,37 @@ def source_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
+
+
+@register(
+    "text_canonicalize",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS canonical,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS canonical_hash
+        FROM documents
+        WHERE text IS NOT NULL
+    """,
+    description="canonicalization before hashing: lowercase, strip "
+    "non-alphanumerics, collapse whitespace runs, trim — the "
+    "normalization pass that makes exact dedup robust to cosmetic "
+    "variation ('Hello,  World!' == 'hello world'); emits the "
+    "canonical form and its md5, one codegen'd projection with "
+    "RE2-compatible patterns so the oracle matches byte-for-byte",
+)
+def text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id", canon.alias("canonical"), F.md5(canon).alias("canonical_hash")
+    )

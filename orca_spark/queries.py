@@ -83,11 +83,17 @@ from orca_spark.operators import (  # noqa: F401
 )
 
 
-# Defer rows-only r05 late additions past the 50-slot oracled prefix:
-# their driver check is rows-only either way (no oracle), and their real
-# gate is the local planted-dup test — an oracled query in the prefix is
-# worth more than a rows-only row.
-for _deferred in ("dedup_minhash_incremental",):
+# Defer r05 late additions past the 50-slot oracled prefix: the
+# rows-only probe (its real gate is the local planted-dup test) and the
+# two newest oracled ops, which are locally oracle-verified at BOTH
+# sf0.001 and sf0.01 and rotate into the driver prefix next round. This
+# keeps the prefix promise made when the slots filled (slot 49 =
+# contrastive_hard_negatives).
+for _deferred in (
+    "dedup_minhash_incremental",
+    "text_canonicalize",
+    "corpus_mix_resample",
+):
     if _deferred in REGISTRY:
         REGISTRY[_deferred] = REGISTRY.pop(_deferred)
 
