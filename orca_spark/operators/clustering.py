@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from orca_spark.operators.similarity import (
     _DIM,
-    _sql_dot_lit,
+    centroid_structs_sql,
     dot,
     ivf_assign,
     kmeans_centroids,
@@ -80,7 +80,7 @@ def kmeans_fit(
                 # convergence readout.
                 stats = emb.agg(
                     F.sum(
-                        _min_d2_sql(cents) + dot("e", "e", validated=True)
+                        _min_d2_sql(cents) + dot("e", "e", dim, validated=True)
                     ).alias("inertia")
                 ).collect()[0]
                 inertia.append(float(stats["inertia"]))
@@ -94,13 +94,10 @@ def kmeans_fit(
 
 
 def _min_d2_sql(centroids: list[tuple[int, list[float]]]):
-    """min_c (‖c‖² − 2x·c) as the assign path's struct-sort literal —
-    identical distance arithmetic, so inertia and assignment agree."""
-    structs = ", ".join(
-        f"named_struct('d', {sum(x * x for x in vec)!r}D"
-        f" - 2.0D*{_sql_dot_lit('e', vec)}, 'cid', {cid})"
-        for cid, vec in centroids
-    )
+    """min_c (‖c‖² − 2x·c) via the SAME struct builder the assign path
+    codegens (centroid_structs_sql) — inertia and assignment share one
+    distance expression by construction, not by convention."""
+    structs = centroid_structs_sql(centroids)
     return F.expr(f"element_at(array_sort(array({structs})), 1).d")
 
 
@@ -169,7 +166,18 @@ def embeddings_kmeans_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
         "cluster_id",
         F.round(F.sqrt(dot("c", "c", validated=True)), 4).alias("centroid_norm"),
     )
-    return sizes.join(F.broadcast(cdf), "cluster_id").orderBy("cluster_id")
+    # LEFT join from the centroid frame: a cluster that captured no rows
+    # still appears, with n_assigned = 0 (an empty cluster is a finding,
+    # not a row to drop)
+    return (
+        cdf.join(sizes, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+            "centroid_norm",
+        )
+        .orderBy("cluster_id")
+    )
 
 
 @register(

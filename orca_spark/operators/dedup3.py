@@ -213,15 +213,21 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
 
 
 def bloom_might_contain(bloom_name: str, key_name: str):
-    """True iff ALL k probe bits are set — the bloom membership test."""
-    conds = []
-    for seed in range(_BLOOM_HASHES):
-        p = _position_sql(key_name, seed)
-        conds.append(
-            f"(element_at({bloom_name}, cast({p} div 64 as int) + 1)"
-            f" & shiftleft(1L, cast({p} % 64 as int))) != 0"
-        )
-    return F.expr(" AND ".join(conds))
+    """True iff ALL k probe bits are set — the bloom membership test.
+
+    The k positions are computed ONCE into an array and each tested via
+    a higher-order ``forall`` — k xxhash64 evaluations per row (naively
+    inlining the position into both the word index and the bit shift
+    doubles the hash work, the dominant per-row cost).
+    """
+    probes = ", ".join(
+        _position_sql(key_name, seed) for seed in range(_BLOOM_HASHES)
+    )
+    return F.expr(
+        f"forall(transform(array({probes}), p ->"
+        f" (element_at({bloom_name}, cast(p div 64 as int) + 1)"
+        f" & shiftleft(1L, cast(p % 64 as int))) != 0), x -> x)"
+    )
 
 
 @register(
@@ -229,8 +235,10 @@ def bloom_might_contain(bloom_name: str, key_name: str):
     oracle="""
         SELECT d.doc_id, d.source, d.n_chars
         FROM documents d
-        WHERE md5(d.text) NOT IN (
-            SELECT md5(text) FROM documents WHERE source = 'src0'
+        WHERE d.text IS NOT NULL
+          AND md5(d.text) NOT IN (
+            SELECT md5(text) FROM documents
+            WHERE source = 'src0' AND text IS NOT NULL
         )
         ORDER BY d.doc_id
     """,
@@ -255,8 +263,16 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus shuffles.
     """
     d = load(spark, sf_dir, "documents")
-    corpus = d.select("doc_id", "source", "n_chars", F.md5("text").alias("k"))
-    contam = d.where(F.col("source") == "src0").select(F.md5("text").alias("k"))
+    # NULL text is EXCLUDED on both sides: a NULL key can neither be
+    # decontaminated nor contaminate (and SQL's NOT-IN-with-NULL would
+    # otherwise drop every row in the oracle) — same boundary contract
+    # as load_embeddings' NULL-vector exclusion
+    corpus = d.where(F.col("text").isNotNull()).select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("k")
+    )
+    contam = d.where(
+        (F.col("source") == "src0") & F.col("text").isNotNull()
+    ).select(F.md5("text").alias("k"))
     bloom = bloom_build(contam, "k")
     probed = corpus.join(F.broadcast(bloom))
     clean_fast = probed.where(~bloom_might_contain("bloom", "k")).select(

@@ -162,6 +162,9 @@ def _parse_ppm_header(data: bytes) -> tuple[int, int, int, int]:
             raise ValueError("truncated PPM header")
         fields.append(int(data[i:j]))
         i = j
+    def _raster_size(flds):
+        return flds[0] * flds[1] * 3
+
     width, height, maxval = fields
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dimensions {width}x{height}")
@@ -182,9 +185,15 @@ def _parse_ppm_header(data: bytes) -> tuple[int, int, int, int]:
                 i += 1
             # the comment's line terminator delimits the raster; treat
             # \r\n as ONE delimiter (a Windows-authored comment would
-            # otherwise leave the \n as the first raster byte)
+            # otherwise leave the \n as the first raster byte) — UNLESS
+            # consuming only the \r already leaves an exactly-sized
+            # raster whose first pixel byte happens to be 0x0A (a
+            # Mac-style bare-\r comment): the raster size disambiguates,
+            # and exact-size is the stronger signal than CRLF convention
             if data[i : i + 1] == b"\r" and data[i + 1 : i + 2] == b"\n":
-                i += 1
+                exact_after_cr = (n - (i + 1)) == _raster_size(fields)
+                if not exact_after_cr:
+                    i += 1
             i += 1
             if data[i : i + 1] == b"#":  # ... unless another comment follows
                 continue

@@ -27,6 +27,16 @@ _K_PER_GROUP = 10
 _SCALE = float(1 << 32)
 
 
+def md5_uniform(col):
+    """Deterministic uniform in (0,1) from a column's md5 — the single
+    derandomization every sampler in this module shares (change it here
+    and the weighted sampler and the mix resampler stay in lockstep)."""
+    h32 = F.conv(
+        F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 8), 16, 10
+    ).cast("long")
+    return (h32 + F.lit(0.5)) / F.lit(_SCALE)
+
+
 @register(
     "sample_weighted_per_lang",
     oracle=f"""
@@ -50,7 +60,9 @@ _SCALE = float(1 << 32)
     "docs per language with probability proportional to n_chars "
     "(Efraimidis-Spirakis ln(u)/w ranking): the uniform is md5-derived "
     "from doc_id so the sample is reproducible across runs, retries and "
-    "engines; one window shuffle on lang, no driver-side state",
+    "engines, and the rank key is rounded to 12 decimals before the "
+    "window (a last-ulp ln() difference between the two engines' libm "
+    "must not flip the k-th rank); one window shuffle on lang",
 )
 def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group under the A-ES key: one partitioned window.
@@ -67,17 +79,12 @@ def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND equal weights — broken deterministically anyway).
     """
     d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    h32 = F.conv(
-        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    u = (h32 + F.lit(0.5)) / F.lit(_SCALE)
+    u = md5_uniform(F.col("doc_id"))
     keyed = d.select(
         "lang",
         "doc_id",
         "n_chars",
-        (F.log(u) / F.col("n_chars")).alias("es_key"),
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("es_key"),
     )
     w = W.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
     return (
@@ -177,12 +184,7 @@ def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.when(F.col("source") == s, F.lit(m)) for s, m in _MIX.items()],
         F.lit(_MIX_DEFAULT),
     )
-    h32 = F.conv(
-        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    u = (h32 + F.lit(0.5)) / F.lit(float(1 << 32))
+    u = md5_uniform(F.col("doc_id"))
     copies = F.floor(mult).cast("long") + F.when(
         u < mult - F.floor(mult), F.lit(1)
     ).otherwise(F.lit(0))

@@ -460,6 +460,19 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe:
     return ivf_assign_literal(emb, centroids, nprobe=nprobe)
 
 
+def centroid_structs_sql(centroids: list[tuple[int, list[float]]]) -> str:
+    """The (d, cid) struct list for a literal centroid argmin: d =
+    ‖c‖² − 2x·c with ‖c‖² folded to a literal. Shared by the assign
+    path and clustering's inertia expression so their distance
+    arithmetic can never desynchronize (same formula, same summation
+    order, same tie-break field order)."""
+    return ", ".join(
+        f"named_struct('d', {sum(x * x for x in vec)!r}D - 2.0D*{_sql_dot_lit('e', vec)}, "
+        f"'cid', {cid})"
+        for cid, vec in centroids
+    )
+
+
 def ivf_assign_literal(
     emb: DataFrame, centroids: list[tuple[int, list[float]]], nprobe: int = 1
 ):
@@ -473,11 +486,7 @@ def ivf_assign_literal(
     materializations (‖c‖² folds to a literal at plan time). Ties and
     float noise break deterministically on cid via the struct sort.
     """
-    structs = ", ".join(
-        f"named_struct('d', {sum(x * x for x in vec)!r}D - 2.0D*{_sql_dot_lit('e', vec)}, "
-        f"'cid', {cid})"
-        for cid, vec in centroids
-    )
+    structs = centroid_structs_sql(centroids)
     probed = (
         f"transform(slice(array_sort(array({structs})), 1, {nprobe}), s -> s.cid)"
     )

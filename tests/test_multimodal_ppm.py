@@ -107,3 +107,16 @@ def test_ppm_crlf_comment_terminator():
     data3 = b"P6\n2 2\n255#c\r\n" + px_nl
     _, _, _, off3 = _parse_ppm_header(data3)
     assert data3[off3 : off3 + 12] == px_nl
+
+
+def test_ppm_bare_cr_comment_with_raster_starting_0x0a():
+    """Mac-style bare-\r comment whose raster legitimately BEGINS with a
+    0x0A byte: the exact raster size disambiguates — the \n is pixel
+    data, not the second half of a CRLF."""
+    from orca_spark.operators.multimodal import _parse_ppm_header
+
+    px = b"\x0a" + bytes(range(11))  # 2x2x3 = 12 bytes, first is 0x0A
+    data = b"P6\n2 2\n255#mac comment\r" + px
+    w, h, maxval, off = _parse_ppm_header(data)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert data[off:] == px  # the 0x0A survived as the first pixel byte

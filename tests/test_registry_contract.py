@@ -100,3 +100,22 @@ def test_coerce_or_null_never_raises(garbage):
     out = coerce_or_null(df, "a bigint, b timestamp, c date")
     rows = out.collect()  # must not raise
     assert len(rows) == len(garbage)
+
+
+def test_r05_verification_prefix_boundary():
+    """The driver verifies only the first 50 registry entries per round;
+    queries.py promises every never-driver-verified r05 query sits at
+    slot <= 49 (with the named deferrals at the END of the registry).
+    Pin the boundary so a future registration in a prefix module can't
+    silently push a query out of its verification slot."""
+    names = list(queries())
+    assert names[49] == "contrastive_hard_negatives", names[45:52]
+    deferred = {
+        "dedup_minhash_incremental",
+        "text_canonicalize",
+        "corpus_mix_resample",
+    }
+    # deferrals really are past the prefix (they re-enter via rotation
+    # next round, tracked in queries.py's comment)
+    for d in deferred:
+        assert names.index(d) >= 50, (d, names.index(d))
