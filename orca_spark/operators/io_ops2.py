@@ -381,3 +381,35 @@ def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),
     )
+
+
+@register(
+    "provenance_file_lineage",
+    oracle="""
+        -- the driver corpus stores each table as ONE parquet file, so
+        -- the expected manifest is a single row whose file_name is the
+        -- literal; the Spark side must surface the same name from the
+        -- scan's _metadata column
+        SELECT 'documents.parquet'         AS file_name,
+               count(*)                    AS n_rows,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM documents
+    """,
+    description="row-level provenance via the hidden _metadata column: "
+    "every scanned row carries its physical source file, aggregated "
+    "here to a per-file manifest (row count, key range) — the lineage "
+    "primitive behind attribution, incremental reconciliation and "
+    "takedown compliance, at zero storage cost (the file path is scan "
+    "metadata, not a materialized column)",
+)
+def provenance_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bypass tables.load: _metadata must be selected at scan time
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("_metadata.file_name").alias("file_name")
+    )
+    return d.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )

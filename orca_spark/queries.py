@@ -94,6 +94,7 @@ for _deferred in (
     "dedup_minhash_incremental",
     "text_canonicalize",
     "corpus_mix_resample",
+    "provenance_file_lineage",
 ):
     if _deferred in REGISTRY:
         REGISTRY[_deferred] = REGISTRY.pop(_deferred)

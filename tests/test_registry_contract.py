@@ -114,6 +114,7 @@ def test_r05_verification_prefix_boundary():
         "dedup_minhash_incremental",
         "text_canonicalize",
         "corpus_mix_resample",
+        "provenance_file_lineage",
     }
     # deferrals really are past the prefix (they re-enter via rotation
     # next round, tracked in queries.py's comment)
