@@ -449,3 +449,102 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         new_sh.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Dedup tuning diagnostics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_jaccard_histogram",
+    oracle="""
+        WITH sets AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+            FROM documents
+        ),
+        pairs AS (
+            SELECT round(len(list_intersect(a.s, b.s)) * 1.0
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                       AS j
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        )
+        SELECT round(floor(j * 10) / 10, 1) AS j_bucket,
+               count(*) AS n_pairs
+        FROM pairs WHERE j >= 0.5
+        GROUP BY 1
+    """,
+    description="dedup threshold tuning: histogram of exact token-"
+    "Jaccard over all pairs >= 0.5 in 0.1-wide buckets — the "
+    "distribution that tells an operator where to SET the near-dup "
+    "threshold (a bimodal histogram separates true dups from topical "
+    "overlap; a smooth tail means the threshold is a real tradeoff). "
+    "All-pairs by construction (the diagnostic runs on a sample at "
+    "scale; the production candidate paths stay bucketed)",
+)
+def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    j = F.round(inter * F.lit(1.0) / union, 4)
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        j.alias("j")
+    )
+    bucket = F.round(F.floor(F.col("j") * 10) / 10, 1)
+    return (
+        pairs.where(F.col("j") >= 0.5)
+        .groupBy(bucket.alias("j_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    oracle="""
+        WITH sets AS (
+            SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS s
+            FROM documents
+        ),
+        pairs AS (
+            SELECT least(a.source, b.source)    AS source_a,
+                   greatest(a.source, b.source) AS source_b
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8
+        )
+        SELECT source_a, source_b, count(*) AS n_dup_pairs
+        FROM pairs GROUP BY 1, 2
+    """,
+    description="cross-source duplication matrix: near-dup pairs "
+    "(token Jaccard >= 0.8) bucketed by the unordered source pair — "
+    "the mirror-site / scraped-twice detector that tells a curation "
+    "team WHICH ingest sources duplicate each other (high off-diagonal "
+    "mass = drop one source, high diagonal = dedup within it); exact "
+    "pairwise here as the oracle baseline, candidates come from the "
+    "bucketed paths at scale",
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    j = inter * F.lit(1.0) / union
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(j >= 0.8)
+        .select(
+            F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
+            F.greatest(F.col("a.source"), F.col("b.source")).alias("source_b"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )

@@ -95,6 +95,8 @@ for _deferred in (
     "text_canonicalize",
     "corpus_mix_resample",
     "provenance_file_lineage",
+    "dedup_jaccard_histogram",
+    "dedup_source_overlap_matrix",
 ):
     if _deferred in REGISTRY:
         REGISTRY[_deferred] = REGISTRY.pop(_deferred)

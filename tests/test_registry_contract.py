@@ -115,6 +115,8 @@ def test_r05_verification_prefix_boundary():
         "text_canonicalize",
         "corpus_mix_resample",
         "provenance_file_lineage",
+        "dedup_jaccard_histogram",
+        "dedup_source_overlap_matrix",
     }
     # deferrals really are past the prefix (they re-enter via rotation
     # next round, tracked in queries.py's comment)
