@@ -87,7 +87,15 @@ def kmeans_fit(
             assigned = ivf_assign(emb, cents, nprobe=1).select(
                 "e", F.col("clusters")[0].alias("cid")
             )
-            cents = _recompute(assigned, k, dim, prev=dict(cents))
+            new_cents = _recompute(assigned, k, dim, prev=dict(cents))
+            # early stop: the update is driver-side model data, so the
+            # fixed-point check is free — converged corpora skip the
+            # remaining iterations' scans entirely (same rule as the
+            # sample trainer's `moved` check)
+            if new_cents == cents:
+                cents = new_cents
+                break
+            cents = new_cents
         return cents, inertia
     finally:
         emb.unpersist()
