@@ -54,6 +54,9 @@ def kmeans_fit(
 ) -> tuple[list[tuple[int, list[float]]], list[float]]:
     """Full-corpus Lloyd's: returns (centroids, per-iteration inertia).
 
+    ``inertia`` has one entry per EXECUTED iteration — early stop at the
+    centroid fixed point can make it shorter than ``iters``.
+
     Seeding is deterministic and distributed: per-(vec_id % k) bucket
     means over the WHOLE corpus (one aggregation pass), the same scheme
     the sample-trained quantizer uses, so both trainers start from the
@@ -90,12 +93,21 @@ def kmeans_fit(
             new_cents = _recompute(assigned, k, dim, prev=dict(cents))
             # early stop: the update is driver-side model data, so the
             # fixed-point check is free — converged corpora skip the
-            # remaining iterations' scans entirely (same rule as the
-            # sample trainer's `moved` check)
-            if new_cents == cents:
-                cents = new_cents
-                break
+            # remaining iterations' scans. Epsilon tolerance, NOT exact
+            # equality: on a multi-executor cluster avg()'s partial-merge
+            # order varies run to run, so a converged assignment can
+            # still produce last-ulp-different centroids — exact
+            # comparison would silently never fire there (the sample
+            # trainer's array_equal check is safe only because numpy is
+            # single-process deterministic).
+            moved = max(
+                abs(x - y)
+                for (_, a), (_, b) in zip(cents, new_cents)
+                for x, y in zip(a, b)
+            )
             cents = new_cents
+            if moved < 1e-9:
+                break
         return cents, inertia
     finally:
         emb.unpersist()

@@ -456,6 +456,39 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _exact_jaccard_pairs(d: DataFrame, min_j: float) -> DataFrame:
+    """(doc_a, doc_b, j) for every pair with token-Jaccard >= min_j.
+
+    Inverted-index form (same shape as dedup.dedup_jaccard_exact): the
+    pair space is generated by the TOKEN equi-join, so only pairs
+    sharing at least one token ever materialize — any threshold > 0
+    makes this lossless vs the all-pairs cross join, at
+    O(shared-token pairs) instead of O(n²). Shared by both diagnostics
+    below so their Jaccard semantics cannot drift apart.
+    """
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jraw = F.col("i") / (F.col("za.sz") + F.col("zb.sz") - F.col("i"))
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .where(jraw >= min_j)
+        .select("doc_a", "doc_b", F.round(jraw, 4).alias("j"))
+    )
+
+
 @register(
     "dedup_jaccard_histogram",
     oracle="""
@@ -479,26 +512,16 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distribution that tells an operator where to SET the near-dup "
     "threshold (a bimodal histogram separates true dups from topical "
     "overlap; a smooth tail means the threshold is a real tradeoff). "
-    "All-pairs by construction (the diagnostic runs on a sample at "
-    "scale; the production candidate paths stay bucketed)",
+    "Pairs come from the token inverted-index equi-join (lossless for "
+    "any threshold > 0 — a zero-overlap pair cannot clear it), never "
+    "an all-pairs cross join",
 )
 def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sets = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
-    )
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
-    j = F.round(inter * F.lit(1.0) / union, 4)
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
-        j.alias("j")
-    )
+    pairs = _exact_jaccard_pairs(d, min_j=0.5)
     bucket = F.round(F.floor(F.col("j") * 10) / 10, 1)
-    return (
-        pairs.where(F.col("j") >= 0.5)
-        .groupBy(bucket.alias("j_bucket"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    return pairs.groupBy(bucket.alias("j_bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
     )
 
 
@@ -524,27 +547,28 @@ def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(token Jaccard >= 0.8) bucketed by the unordered source pair — "
     "the mirror-site / scraped-twice detector that tells a curation "
     "team WHICH ingest sources duplicate each other (high off-diagonal "
-    "mass = drop one source, high diagonal = dedup within it); exact "
-    "pairwise here as the oracle baseline, candidates come from the "
-    "bucketed paths at scale",
+    "mass = drop one source, high diagonal = dedup within it); pairs "
+    "from the shared inverted-index generator, source labels joined "
+    "back as a broadcast",
 )
 def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sets = d.select(
-        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("s")
-    )
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
-    j = inter * F.lit(1.0) / union
-    pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(j >= 0.8)
+    pairs = _exact_jaccard_pairs(d, min_j=0.8)
+    src = F.broadcast(d.select("doc_id", "source"))
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
         .select(
-            F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
-            F.greatest(F.col("a.source"), F.col("b.source")).alias("source_b"),
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
         )
     )
-    return pairs.groupBy("source_a", "source_b").agg(
+    return labeled.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_dup_pairs")
     )

@@ -84,12 +84,11 @@ from orca_spark.operators import (  # noqa: F401
 )
 
 
-# Defer r05 late additions past the 50-slot oracled prefix: the
-# rows-only probe (its real gate is the local planted-dup test) and the
-# two newest oracled ops, which are locally oracle-verified at BOTH
-# sf0.001 and sf0.01 and rotate into the driver prefix next round. This
-# keeps the prefix promise made when the slots filled (slot 49 =
-# contrastive_hard_negatives).
+# Defer r05 late additions past the 50-slot oracled prefix (slot 49 =
+# contrastive_hard_negatives, pinned by test_registry_contract.py).
+# Every deferral is locally gated — the oracled ones verified at BOTH
+# sf0.001 and sf0.01, the rows-only minhash probe by its planted-dup
+# test — and all rotate into the driver prefix next round.
 for _deferred in (
     "dedup_minhash_incremental",
     "text_canonicalize",

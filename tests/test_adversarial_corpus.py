@@ -67,6 +67,11 @@ _DOC_QUERIES = [
     "source_length_psi",
     "source_token_cosine",
     "json_corrupt_quarantine",
+    "dedup_jaccard_histogram",
+    "dedup_source_overlap_matrix",
+    "provenance_file_lineage",
+    "text_canonicalize",
+    "corpus_mix_resample",
 ]
 
 

@@ -18,7 +18,9 @@ from tests.test_similarity import N_CLUSTERS, clustered_dir  # noqa: F401
 def test_inertia_monotone_nonincreasing(spark):
     emb = load_embeddings(spark, SF_DIR)
     _, inertia = kmeans_fit(emb, k=8, iters=4)
-    assert len(inertia) == 4
+    # early stop may execute fewer than `iters` iterations; one entry
+    # per executed iteration is the contract
+    assert 1 <= len(inertia) <= 4
     for a, b in zip(inertia, inertia[1:]):
         assert b <= a * (1 + 1e-9), f"inertia increased: {inertia}"
     assert inertia[-1] > 0
