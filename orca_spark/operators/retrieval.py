@@ -141,3 +141,180 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_TOP)
     )
+
+
+# batch form: three concurrent hybrid queries, each a (terms, vector) pair
+_BATCH = {
+    0: ("join", "hash"),
+    1: ("scan", "table"),
+    2: ("merge", "sort"),
+}
+_TOP_BATCH = 5
+
+
+@register(
+    "retrieval_hybrid_rrf_batch",
+    oracle=f"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        tok AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)
+            WHERE w <> ''
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        qt AS (
+            SELECT * FROM (VALUES
+                (0, 'join'), (0, 'hash'),
+                (1, 'scan'), (1, 'table'),
+                (2, 'merge'), (2, 'sort')) AS t(query_id, w)
+        ),
+        tfq AS (
+            SELECT qt.query_id, tok.doc_id, tok.w, count(*) AS tf
+            FROM tok JOIN qt ON tok.w = qt.w
+            GROUP BY 1, 2, 3
+        ),
+        dfq AS (
+            SELECT query_id, w, count(*) AS df FROM tfq GROUP BY 1, 2
+        ),
+        n AS (SELECT count(*) AS n FROM docs),
+        avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        lex AS (
+            SELECT tfq.query_id, tfq.doc_id,
+                   round(sum(
+                       ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * tfq.tf * (1.2 + 1.0)
+                       / (tfq.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl.dl / avgdl.avgdl))
+                   ), 4) AS bm25
+            FROM tfq
+            JOIN dl ON dl.doc_id = tfq.doc_id
+            JOIN dfq ON dfq.w = tfq.w AND dfq.query_id = tfq.query_id
+            CROSS JOIN n CROSS JOIN avgdl
+            GROUP BY 1, 2
+        ),
+        lexr AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM lex
+        ),
+        q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings
+            WHERE vec_id IN (0, 1, 2) AND embedding IS NOT NULL
+        ),
+        sem AS (
+            SELECT q.query_id, e.vec_id AS doc_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.embedding IS NOT NULL
+        ),
+        semr AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, doc_id) AS sem_rank
+            FROM sem
+        ),
+        fused AS (
+            SELECT query_id, doc_id,
+                   CAST(sem_rank AS BIGINT) AS sem_rank,
+                   CAST(lex_rank AS BIGINT) AS lex_rank,
+                   round(coalesce(1.0 / (60 + sem_rank), 0)
+                         + coalesce(1.0 / (60 + lex_rank), 0), 6) AS rrf
+            FROM semr FULL JOIN lexr USING (query_id, doc_id)
+        )
+        SELECT query_id, doc_id, sem_rank, lex_rank, rrf
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rrf DESC, doc_id) AS rk
+            FROM fused
+        )
+        WHERE rk <= {_TOP_BATCH}
+    """,
+    description="BATCHED hybrid retrieval: three (term-set, vector) "
+    "queries served by ONE plan — BM25 generalizes to a (query, term) "
+    "table join, the semantic side broadcasts all query vectors, and "
+    "every window partitions by query_id; per-query top-5 by "
+    "reciprocal-rank fusion. The same plan serves thousands of "
+    "queries — the production form the single-query operator's "
+    "docstring promises",
+)
+def retrieval_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    emb = load_embeddings(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qt = F.broadcast(
+        spark.createDataFrame(
+            [(qid, w) for qid, terms in _BATCH.items() for w in terms],
+            "query_id int, w string",
+        )
+    )
+    tfq = (
+        tok.join(qt, "w")
+        .groupBy("query_id", "doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tfq.groupBy("query_id", "w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * F.col("tf") * (1.2 + 1.0) / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    lex = (
+        tfq.join(dl, "doc_id")
+        .join(F.broadcast(dfq), ["query_id", "w"])
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+    wl = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    lexr = lex.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(wl).cast("long").alias("lex_rank"),
+    )
+
+    q = F.broadcast(
+        _with_norm(emb.where(F.col("vec_id") < 3), "qn").select(
+            F.col("vec_id").cast("int").alias("query_id"),
+            F.col("e").alias("qe"),
+            "qn",
+        )
+    )
+    sem = _with_norm(emb, "en").crossJoin(q).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            dot("qe", "e", validated=True) / (F.col("qn") * F.col("en")), 4
+        ).alias("cos"),
+    )
+    ws = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
+    semr = sem.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(ws).cast("long").alias("sem_rank"),
+    )
+
+    fused = semr.join(lexr, ["query_id", "doc_id"], "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lex_rank")), F.lit(0.0)),
+        6,
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.select("query_id", "doc_id", "sem_rank", "lex_rank", rrf.alias("rrf"))
+        .withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= _TOP_BATCH)
+        .drop("rk")
+    )
