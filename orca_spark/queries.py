@@ -96,6 +96,7 @@ for _deferred in (
     "provenance_file_lineage",
     "dedup_jaccard_histogram",
     "dedup_source_overlap_matrix",
+    "events_anomaly_flags",
 ):
     if _deferred in REGISTRY:
         REGISTRY[_deferred] = REGISTRY.pop(_deferred)

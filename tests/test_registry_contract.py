@@ -117,6 +117,7 @@ def test_r05_verification_prefix_boundary():
         "provenance_file_lineage",
         "dedup_jaccard_histogram",
         "dedup_source_overlap_matrix",
+        "events_anomaly_flags",
     }
     # deferrals really are past the prefix (they re-enter via rotation
     # next round, tracked in queries.py's comment)
