@@ -47,6 +47,11 @@ _EVENT_QUERIES = [
     "streaming_stateful_user_totals",
     "streaming_dedup_user_event_types",
     "streaming_click_purchase_attribution",
+    # round-5 events-driven additions
+    "events_resample_ffill",
+    "events_anomaly_flags",
+    "snapshot_diff_events",
+    "streaming_incremental_ingest",
 ]
 
 
