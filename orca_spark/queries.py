@@ -54,7 +54,13 @@ from orca_spark.operators import (  # noqa: F401
 # profile2: profile_lineitem_approx already has its r04 driver row, and
 # the new sketch-union query is bounds-tested in test_approx.py — the
 # least-harmed deferral when the prefix overflowed by one.
-from orca_spark.operators import profile2, retrieval, diffing, schema_ops  # noqa: F401
+from orca_spark.operators import (  # noqa: F401
+    profile2,
+    retrieval,
+    diffing,
+    schema_ops,
+    audit,
+)
 from orca_spark.streaming import jobs5  # noqa: F401
 
 # Long-verified tail (green rows in r01-r04, or no-oracle scale paths
