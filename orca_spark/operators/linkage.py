@@ -1,0 +1,112 @@
+"""Edit-distance near-duplicate verification (record-linkage style).
+
+MinHash/SimHash find near-dups by set/bit similarity; an edit-distance
+verify is the classic record-linkage complement — it catches small
+in-place character edits (typos, template slot changes) that token-set
+metrics under-weigh, and its threshold has a direct data-entry meaning
+("at most T keystrokes apart").
+
+Naive all-pairs Levenshtein is O(n²·len²) — unusable. The operator is
+structured as block → prune → verify:
+
+* **Block** on (lang, length bucket): distance ≤ T forces
+  ``|len(a)-len(b)| ≤ T``, so bucketing lengths by width T and probing
+  the three adjacent buckets {b-1, b, b+1} is lossless. Blocks are the
+  unit of parallelism; candidate count is Σ per-block n², never corpus
+  n².
+* **Prune** with the exact length test before any string work.
+* **Verify** with Spark's 3-arg ``levenshtein(a, b, T)`` — the banded
+  DP early-exits at threshold T (O(T·len) per pair, returns -1 past
+  it) — so the expensive kernel runs only inside blocks and only until
+  refutation.
+
+At 100 TB the block key keeps the join shuffle-partitionable; a skewed
+(lang, bucket) block is salted like any other skewed join key. The
+length-bucket explode is a 3× fan-out of (id, bucket) pairs only — the
+text column rides the probe side once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+_MAX_EDITS = 20  # verify threshold T: at most T character edits apart
+
+
+def edit_distance_pairs(docs: DataFrame, max_edits: int = _MAX_EDITS) -> DataFrame:
+    """Near-dup pairs with ``levenshtein(text_a, text_b) <= max_edits``.
+
+    ``docs`` needs (doc_id, text, lang, n_chars). Pairs are emitted once
+    with ``doc_a < doc_b``.
+    """
+    t = max_edits
+    base = docs.select("doc_id", "text", "lang", "n_chars").where(
+        F.col("text").isNotNull()
+    )
+    # Build side: each doc probes its own bucket and both neighbors, so
+    # any pair within T length-delta meets in exactly ONE (lang, bucket)
+    # block: the probe side's own bucket.
+    probe = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("len_b"),
+        "lang",
+        F.floor(F.col("n_chars") / t).alias("bucket"),
+    )
+    build = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("len_a"),
+        "lang",
+        F.explode(
+            F.array(
+                F.floor(F.col("n_chars") / t) - 1,
+                F.floor(F.col("n_chars") / t),
+                F.floor(F.col("n_chars") / t) + 1,
+            )
+        ).alias("bucket"),
+    )
+    cand = build.join(probe, ["lang", "bucket"]).where(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= t)
+    )
+    # 3-arg levenshtein: banded DP, -1 once the band exceeds t — the
+    # early-exit makes refuting a far pair O(t·len), not O(len²)
+    lev = F.levenshtein("text_a", "text_b", t)
+    return (
+        cand.withColumn("edit_distance", lev)
+        .where(F.col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", "lang", "edit_distance")
+    )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+               CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang
+         AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= {_MAX_EDITS}
+        WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+          AND levenshtein(a.text, b.text) <= {_MAX_EDITS}
+    """,
+    description=f"edit-distance near-dup verify: (lang, length-bucket) "
+    f"blocking (lossless for distance <= {_MAX_EDITS}; probe meets each "
+    "pair in exactly one block), length prune, then banded "
+    f"levenshtein(a, b, {_MAX_EDITS}) with early exit — the "
+    "record-linkage complement to MinHash/SimHash that catches "
+    "in-place character edits token-set metrics under-weigh",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: candidate count is per-block quadratic, corpus-linear
+    across blocks; the oracle's theta-join form is the same SET of
+    pairs, reached without the blocking (DuckDB's planner handles the
+    small oracle scale; the blocked form is the one that shuffles by
+    (lang, bucket) on a cluster)."""
+    return edit_distance_pairs(load(spark, sf_dir, "documents"))

@@ -60,6 +60,9 @@ from orca_spark.operators import (  # noqa: F401
     diffing,
     schema_ops,
     audit,
+    linkage,
+    events2,
+    text8,
 )
 from orca_spark.streaming import jobs5  # noqa: F401
 

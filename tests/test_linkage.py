@@ -1,0 +1,71 @@
+"""Edit-distance near-dup verification: blocking losslessness and
+threshold semantics on planted pairs (the properties the SQL oracle
+can't isolate — it would agree even if both sides shared a lossy
+blocking scheme)."""
+
+from pyspark.sql import functions as F
+
+from orca_spark.operators.linkage import _MAX_EDITS, edit_distance_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b): r.edit_distance for r in df.collect()}
+
+
+def test_boundary_straddling_pair_is_found(spark):
+    """A pair whose lengths fall in ADJACENT buckets (and a pair in the
+    same bucket at maximal length delta) must still meet: the 3-bucket
+    probe makes blocking lossless for distance <= T."""
+    t = _MAX_EDITS
+    base = "x" * (t * 3 - 1)  # length 59: bucket 2; +2 chars -> bucket 3
+    rows = [
+        (base, "en"),                    # doc 0, len 59 (bucket 2)
+        (base + "yy", "en"),             # doc 1, len 61 (bucket 3), dist 2
+        ("z" * t * 3, "en"),             # doc 2, len 60 (bucket 3), far in content
+    ]
+    got = _pairs(edit_distance_pairs(_docs(spark, rows)))
+    assert got[(0, 1)] == 2
+    # same-bucket far-content pair is refuted by the verify, not the block
+    assert (1, 2) not in got and (0, 2) not in got
+
+
+def test_threshold_is_strict_and_cross_lang_blocked(spark):
+    """dist == T passes, dist == T+1 does not (even though the length
+    prune admits it); equal texts in different langs never pair (lang
+    is a hard blocking key)."""
+    t = _MAX_EDITS
+    a = "a" * 100
+    rows = [
+        (a, "en"),                  # doc 0
+        (a[:-t] + "b" * t, "en"),   # doc 1: exactly t substitutions
+        (a[: -(t + 1)] + "b" * (t + 1), "en"),  # doc 2: t+1 substitutions
+        (a, "fr"),                  # doc 3: identical text, other lang
+    ]
+    got = _pairs(edit_distance_pairs(_docs(spark, rows)))
+    assert got[(0, 1)] == t
+    assert (0, 2) not in got
+    assert (0, 3) not in got
+
+
+def test_exactly_once_emission(spark):
+    """The 3-bucket explode must not double-emit a pair (each pair meets
+    only in the probe side's own bucket)."""
+    rows = [("hello world", "en"), ("hello worle", "en")]
+    df = edit_distance_pairs(_docs(spark, rows))
+    assert df.count() == df.distinct().count() == 1
+
+
+def test_null_text_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, None, "en", 5), (1, "abcde", "en", 5), (2, "abcdf", "en", 5)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = _pairs(edit_distance_pairs(df))
+    assert got == {(1, 2): 1}

@@ -296,3 +296,25 @@ def test_diagnostics_and_retrieval_plans(spark):
     p = plan_str(spark, "retrieval_hybrid_rrf")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastExchange" in p  # query vector + BM25 scalars
+
+
+def test_linkage_and_sequence_plans(spark):
+    """r05 batch-2 operators keep their scale shapes: the edit-distance
+    blocker joins on (lang, bucket) hash keys — never a nested-loop or
+    cartesian over documents; the winsorize pass broadcasts its tiny
+    per-type cuts frame back over the stream; all stay JVM-side."""
+    p = plan_str(spark, "dedup_edit_distance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    p = plan_str(spark, "events_value_winsorized")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+    for name in [
+        "events_markov_transitions",
+        "orders_pareto_classes",
+        "text_nucleus_vocab",
+    ]:
+        p = plan_str(spark, name)
+        assert "partial_" in p, name  # counts partial-agg before the exchange
+        assert "BatchEvalPython" not in p, name
