@@ -63,6 +63,7 @@ from orca_spark.operators import (  # noqa: F401
     linkage,
     events2,
     text8,
+    langid,
 )
 from orca_spark.streaming import jobs5  # noqa: F401
 

