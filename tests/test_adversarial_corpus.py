@@ -72,6 +72,10 @@ _DOC_QUERIES = [
     "provenance_file_lineage",
     "text_canonicalize",
     "corpus_mix_resample",
+    # round-5 batch-2 additions
+    "dedup_edit_distance",
+    "text_nucleus_vocab",
+    "text_langid_trigram",
 ]
 
 

@@ -52,6 +52,9 @@ _EVENT_QUERIES = [
     "events_anomaly_flags",
     "snapshot_diff_events",
     "streaming_incremental_ingest",
+    # round-5 batch-2 additions
+    "events_markov_transitions",
+    "events_value_winsorized",
 ]
 
 
