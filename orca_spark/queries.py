@@ -64,6 +64,7 @@ from orca_spark.operators import (  # noqa: F401
     events2,
     text8,
     langid,
+    sketches,
 )
 from orca_spark.streaming import jobs5  # noqa: F401
 

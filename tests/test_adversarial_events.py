@@ -55,6 +55,7 @@ _EVENT_QUERIES = [
     # round-5 batch-2 additions
     "events_markov_transitions",
     "events_value_winsorized",
+    "events_heavy_hitters_cms",
 ]
 
 

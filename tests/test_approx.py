@@ -94,3 +94,58 @@ def test_sketch_union_matches_exact_distincts(spark):
         assert abs(got[s] - n) / n < 0.05, (s, got[s], n)
     # the union row must cover every per-source sketch
     assert got["ALL"] >= max(v for k, v in got.items() if k != "ALL")
+
+
+@pytest.mark.parametrize("sf_dir", _SCALES)
+def test_cms_one_sided_error_all_keys(spark, sf_dir):
+    """CMS contract over EVERY key (not just the top-k readout): never
+    undercounts, and overcounts within eps*N for all keys here (the
+    probabilistic bound is per-query at confidence 0.99; a blanket
+    violation would mean a broken sketch, not bad luck)."""
+    from orca_spark.operators.sketches import _EPS, _read_cms
+    from orca_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sk_row = ev.agg(
+        F.count_min_sketch("user_id", F.lit(_EPS), F.lit(0.99), F.lit(42)).alias("sk"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    cms = _read_cms(spark, bytes(sk_row["sk"]))
+    exact = {
+        int(r.user_id): r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    margin = int(_EPS * sk_row["total"]) + 1
+    violations = [
+        (k, n, int(cms.estimateCount(k)))
+        for k, n in exact.items()
+        if not (n <= cms.estimateCount(k) <= n + margin)
+    ]
+    assert not violations, violations[:5]
+
+
+def test_cms_merge_is_exact(spark):
+    """Merging per-group partial sketches must equal the one-shot global
+    sketch on every estimate — CMS merge is integer counter addition,
+    so this is exact equality, not a tolerance check."""
+    from orca_spark.operators.sketches import _read_cms
+    from orca_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events").where(F.col("user_id").isNotNull())
+    args = (F.lit(0.001), F.lit(0.99), F.lit(42))
+    parts = ev.groupBy("event_type").agg(
+        F.count_min_sketch("user_id", *args).alias("sk")
+    ).collect()
+    merged = _read_cms(spark, bytes(parts[0]["sk"]))
+    for r in parts[1:]:
+        merged.mergeInPlace(_read_cms(spark, bytes(r["sk"])))
+    one_shot = _read_cms(
+        spark,
+        bytes(ev.agg(F.count_min_sketch("user_id", *args).alias("sk")).collect()[0]["sk"]),
+    )
+    keys = [int(r.user_id) for r in ev.select("user_id").distinct().collect()]
+    assert all(
+        merged.estimateCount(k) == one_shot.estimateCount(k) for k in keys
+    )
+    assert merged.totalCount() == one_shot.totalCount()

@@ -43,6 +43,9 @@ def test_oracles_are_subset_with_known_exceptions():
         # schema-level metadata via the Python merge lattice
         # (tests/test_schema_drift.py pins every classification)
         "schema_drift_report",
+        # count-min sketch estimates have no DuckDB counterpart
+        # (tests/test_approx.py: one-sided bound + exact mergeability)
+        "events_heavy_hitters_cms",
     }, oracleless
 
 
