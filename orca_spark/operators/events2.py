@@ -9,9 +9,12 @@
   against heavy-tailed metrics poisoning a mean.
 * ``orders_pareto_classes`` — ABC/Pareto classification of customers
   by cumulative revenue share (A ≲ 80%, B ≲ 95%, C the tail).
+* ``events_value_histogram`` / ``events_value_deciles`` — equi-width
+  and equal-frequency binning per event_type: the two standard
+  discretizations for feature buckets and distribution dashboards.
 
-All three are pure built-in expressions (windows + aggregates), fully
-inside whole-stage codegen.
+All of these are pure built-in expressions (windows + aggregates),
+fully inside whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -200,4 +203,113 @@ def orders_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cum_share") <= 0.95, "B")
         .otherwise("C")
         .alias("abc_class"),
+    )
+
+
+_N_BINS = 20
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+        WITH ext AS (
+            SELECT event_type, min(value) AS lo, max(value) AS hi
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+        ),
+        binned AS (
+            SELECT e.event_type,
+                   CASE WHEN x.hi > x.lo
+                        THEN least(CAST(floor((e.value - x.lo)
+                                              / (x.hi - x.lo)
+                                              * {_N_BINS}) AS INT),
+                                   {_N_BINS - 1})
+                        ELSE 0 END AS bin
+            FROM events e JOIN ext x ON e.event_type = x.event_type
+            WHERE e.value IS NOT NULL
+        )
+        SELECT b.event_type, b.bin, CAST(count(*) AS BIGINT) AS n,
+               round(any_value(x.lo)
+                     + b.bin * (any_value(x.hi) - any_value(x.lo))
+                       / {_N_BINS}, 4) AS bin_lo
+        FROM binned b JOIN ext x ON b.event_type = x.event_type
+        GROUP BY b.event_type, b.bin
+    """,
+    description=f"equi-width histogram: {_N_BINS} bins per event_type "
+    "over the type's own [min, max] span — per-type extent aggregate "
+    "broadcast back, single-expression binning (bit-deterministic: no "
+    "accumulation, one division per row), top bin right-closed",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one partial-agged extent pass, the tiny per-type extent
+    frame broadcast back over the stream (same shape as the winsorize
+    cuts), then one partial-agged (type, bin) count — bins are derived
+    column values, so no sort anywhere."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.join(F.broadcast(ext), "event_type").withColumn(
+        "bin",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * _N_BINS
+                ).cast("int"),
+                F.lit(_N_BINS - 1),
+            ),
+        ).otherwise(0),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.first("lo") + F.col("bin") * (F.first("hi") - F.first("lo")) / _N_BINS,
+            4,
+        ).alias("bin_lo"),
+    )
+
+
+_N_TILES = 10
+
+
+@register(
+    "events_value_deciles",
+    oracle=f"""
+        WITH tiled AS (
+            SELECT event_type, value,
+                   ntile({_N_TILES}) OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS decile
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 4) AS lo,
+               round(max(value), 4) AS hi,
+               round(avg(value), 4) AS mean
+        FROM tiled GROUP BY event_type, decile
+    """,
+    description=f"equal-frequency discretization: ntile({_N_TILES}) per "
+    "event_type (value order, event_id tiebreak for cross-engine "
+    "determinism) with per-decile count/extent/mean — the quantile-"
+    "binning complement to the equi-width histogram",
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-type sort (the window shuffle) then a partial-
+    agged (type, decile) aggregate. Exact ntile needs the per-type
+    sort; when a type outgrows a partition the approx-percentile cut
+    points (profile2's sketch) replace the window, trading exact equal
+    counts for fixed memory."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(_N_TILES).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(F.avg("value"), 4).alias("mean"),
+        )
     )

@@ -56,6 +56,8 @@ _EVENT_QUERIES = [
     "events_markov_transitions",
     "events_value_winsorized",
     "events_heavy_hitters_cms",
+    "events_value_histogram",
+    "events_value_deciles",
 ]
 
 

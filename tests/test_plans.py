@@ -314,6 +314,8 @@ def test_linkage_and_sequence_plans(spark):
         "events_markov_transitions",
         "orders_pareto_classes",
         "text_nucleus_vocab",
+        "events_value_histogram",
+        "events_value_deciles",
     ]:
         p = plan_str(spark, name)
         assert "partial_" in p, name  # counts partial-agg before the exchange
