@@ -38,7 +38,7 @@ _WINSOR_HI = 0.99
                    lag(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS prev_type
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         pairs AS (
             SELECT prev_type, event_type AS next_type, count(*) AS n
@@ -60,7 +60,11 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition aggregate — which partial-aggregates map-side, so the
     second shuffle moves counts, not events. The normalizing window
     runs on the aggregated matrix, not the event stream."""
-    ev = load(spark, sf_dir, "events")
+    # a NULL-ts event has no position in a sequence — excluded by
+    # contract on BOTH engines (their NULL sort orders differ: Spark
+    # NULLS FIRST asc, DuckDB NULLS LAST — leaving them in would make
+    # the transition pairs engine-dependent)
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     seq = ev.select(
         "user_id",
         "event_type",

@@ -52,7 +52,15 @@ def _trigrams(docs: DataFrame) -> DataFrame:
 
 def langid_trigram_df(docs: DataFrame, n: int = _PROFILE_N) -> DataFrame:
     """Classify each doc: (doc_id, lang, predicted_lang, oop_distance,
-    correct)."""
+    correct).
+
+    Candidate languages come from the SAME filtered frame the profiles
+    train on (non-null text long enough for a trigram) and exclude a
+    NULL label: a lang value carried only by unclassifiable docs has an
+    empty (all-penalty) profile and would win ties purely by sort
+    order — and NULL sorts differently across engines, so it must
+    never enter the tiebreak at all. Docs with a NULL label but valid
+    text are still classified (their ``correct`` is NULL)."""
     tri = _trigrams(docs)
 
     lang_counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
@@ -73,7 +81,15 @@ def langid_trigram_df(docs: DataFrame, n: int = _PROFILE_N) -> DataFrame:
         .select("doc_id", "lang", "tri", "drank")
     )
 
-    langs = docs.select(F.col("lang").alias("cand_lang")).distinct()
+    langs = (
+        docs.where(
+            F.col("text").isNotNull()
+            & (F.length("text") >= 3)
+            & F.col("lang").isNotNull()
+        )
+        .select(F.col("lang").alias("cand_lang"))
+        .distinct()
+    )
     # score every (doc, candidate lang): both the candidate-language list
     # and the rank profiles are |langs|-bounded — broadcast, so the only
     # event-scale shuffle left is the per-doc distance aggregation
@@ -133,7 +149,8 @@ def langid_trigram_df(docs: DataFrame, n: int = _PROFILE_N) -> DataFrame:
                 FROM dc
             ) WHERE drank <= {_PROFILE_N}
         ),
-        langs AS (SELECT DISTINCT lang AS cand_lang FROM base),
+        langs AS (SELECT DISTINCT lang AS cand_lang FROM base
+                  WHERE lang IS NOT NULL),
         scored AS (
             SELECT dp.doc_id, dp.lang, l.cand_lang,
                    sum(coalesce(abs(dp.drank - lp.lrank),

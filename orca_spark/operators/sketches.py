@@ -52,8 +52,16 @@ def heavy_hitters_cms_df(
 ) -> DataFrame:
     """Top-k keys by exact count, with the CMS point estimate and the
     one-sided error margin alongside — the estimate-vs-truth readout a
-    sketch deployment monitors."""
+    sketch deployment monitors.
+
+    ``key`` may be an integral or string column: CMS hashes the two
+    differently (long path vs UTF-8 bytes), so the point query must
+    present the SAME Java type the aggregate sketched — the estimate
+    call below branches on the column's Spark type to guarantee it."""
+    from pyspark.sql.types import StringType
+
     keyed = ev.where(F.col(key).isNotNull())
+    key_is_str = isinstance(keyed.schema[key].dataType, StringType)
     sk_row = keyed.agg(
         F.count_min_sketch(key, F.lit(_EPS), F.lit(_CONF), F.lit(_SEED)).alias("sk"),
         F.count(F.lit(1)).alias("total"),
@@ -69,12 +77,15 @@ def heavy_hitters_cms_df(
         .limit(k)
         .collect()
     )
+    def _est(v):
+        return int(cms.estimateCount(str(v) if key_is_str else int(v)))
+
     rows = [
-        (int(r[key]), int(r["exact_n"]), int(cms.estimateCount(int(r[key]))))
+        (str(r[key]) if key_is_str else int(r[key]), int(r["exact_n"]), _est(r[key]))
         for r in cands
     ]
     out = spark.createDataFrame(
-        rows, f"{key} long, exact_n long, cms_n long"
+        rows, f"{key} {'string' if key_is_str else 'long'}, exact_n long, cms_n long"
     )
     return out.select(
         key,

@@ -102,12 +102,14 @@ def test_cms_one_sided_error_all_keys(spark, sf_dir):
     undercounts, and overcounts within eps*N for all keys here (the
     probabilistic bound is per-query at confidence 0.99; a blanket
     violation would mean a broken sketch, not bad luck)."""
-    from orca_spark.operators.sketches import _EPS, _read_cms
+    from orca_spark.operators.sketches import _CONF, _EPS, _SEED, _read_cms
     from orca_spark.tables import load
 
     ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     sk_row = ev.agg(
-        F.count_min_sketch("user_id", F.lit(_EPS), F.lit(0.99), F.lit(42)).alias("sk"),
+        F.count_min_sketch(
+            "user_id", F.lit(_EPS), F.lit(_CONF), F.lit(_SEED)
+        ).alias("sk"),
         F.count(F.lit(1)).alias("total"),
     ).collect()[0]
     cms = _read_cms(spark, bytes(sk_row["sk"]))
@@ -128,12 +130,12 @@ def test_cms_merge_is_exact(spark):
     """Merging per-group partial sketches must equal the one-shot global
     sketch on every estimate — CMS merge is integer counter addition,
     so this is exact equality, not a tolerance check."""
-    from orca_spark.operators.sketches import _read_cms
+    from orca_spark.operators.sketches import _CONF, _EPS, _SEED, _read_cms
     from orca_spark.tables import load
     from tests.conftest import SF_DIR
 
     ev = load(spark, SF_DIR, "events").where(F.col("user_id").isNotNull())
-    args = (F.lit(0.001), F.lit(0.99), F.lit(42))
+    args = (F.lit(_EPS), F.lit(_CONF), F.lit(_SEED))
     parts = ev.groupBy("event_type").agg(
         F.count_min_sketch("user_id", *args).alias("sk")
     ).collect()
@@ -149,3 +151,26 @@ def test_cms_merge_is_exact(spark):
         merged.estimateCount(k) == one_shot.estimateCount(k) for k in keys
     )
     assert merged.totalCount() == one_shot.totalCount()
+
+
+def test_cms_string_key_path(spark):
+    """String keys hash through the CMS byte path, not the long path —
+    the estimate call must present the same Java type the aggregate
+    sketched. event_type exercises it end-to-end."""
+    from orca_spark.operators.sketches import heavy_hitters_cms_df
+    from orca_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events")
+    rows = heavy_hitters_cms_df(spark, ev, "event_type", k=5).collect()
+    assert rows and all(r.no_undercount for r in rows)
+    exact = {
+        r.event_type: r.n
+        for r in ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.exact_n == exact[r.event_type]
+        assert r.exact_n <= r.cms_n <= r.exact_n + r.eps_margin

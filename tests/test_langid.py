@@ -59,15 +59,16 @@ def test_distance_is_integer_and_tie_deterministic(spark):
 
 
 def test_accuracy_summary_on_testdata(spark):
-    """On the shared-vocab sf corpus the classifier must still beat the
-    majority-class baseline (en = 218/500): the labels are weakly
-    separable through length/word-mix quirks, and a regression to
-    constant-prediction would fall to ~0.436 only by predicting en —
-    assert both above-chance accuracy and that >1 language is ever
-    predicted."""
+    """On the shared-vocab sf corpus the labels are only weakly
+    separable (length/word-mix quirks), so assert the floor that a
+    broken classifier would breach: above-chance accuracy (>1/5 on 5
+    labels; sf0.001's majority class is en = 193/500) and that more
+    than one language is ever predicted (a constant predictor fails
+    this even when the majority class keeps it above chance)."""
     from orca_spark.tables import load
+    from tests.conftest import SF_DIR
 
-    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    docs = load(spark, SF_DIR, "documents")
     out = langid_trigram_df(docs)
     stats = out.agg(
         F.avg(F.col("correct").cast("double")).alias("acc"),
