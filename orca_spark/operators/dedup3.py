@@ -43,7 +43,8 @@ SEG_DOC_FREQ = 5
         ),
         base AS (
             SELECT doc_id, t,
-                   CAST(ceil(len(t) * 1.0 / {SEG_W}) AS BIGINT) AS n_segments
+                   CAST(ceil(coalesce(len(t), 0) * 1.0 / {SEG_W}) AS BIGINT)
+                       AS n_segments
             FROM tk
         ),
         flat AS (

@@ -44,6 +44,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
                count(*) AS n_events
         FROM events
+        WHERE ts IS NOT NULL  -- F.window drops NULL event times
         GROUP BY 1
     """,
     description="15-minute tumbling window via F.window (epoch-aligned, "
@@ -62,17 +63,26 @@ def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle="""
         SELECT event_type,
-               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-               max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
-               count(*)                                                         AS n
-        FROM events
+               round(avg(k), 4) AS avg_k,
+               max(k)           AS max_k,
+               count(*)         AS n
+        FROM (
+            -- json_valid + TRY_CAST mirror Spark's NULL-on-malformed
+            -- get_json_object/try_cast (DuckDB's json_* RAISE instead)
+            SELECT event_type,
+                   CASE WHEN json_valid(props)
+                        THEN TRY_CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT) END AS k
+            FROM events
+        )
         GROUP BY event_type
     """,
     description="semi-structured extraction: JSON props column → typed agg",
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast: a non-numeric k is NULL on both engines, never an ANSI abort
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return e.groupBy("event_type").agg(
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),

@@ -87,14 +87,22 @@ def edit_distance_pairs(docs: DataFrame, max_edits: int = _MAX_EDITS) -> DataFra
 @register(
     "dedup_edit_distance",
     oracle=f"""
+        WITH d AS (
+            -- single-byte text only: Spark's levenshtein counts CODE
+            -- POINTS, DuckDB's counts BYTES — they agree exactly on
+            -- single-byte text, so the oracled query restricts to it;
+            -- the engine operator itself is code-point-based for all
+            -- text (unicode behavior pinned in tests/test_linkage.py)
+            SELECT doc_id, text, lang, n_chars FROM documents
+            WHERE text IS NOT NULL AND length(text) = strlen(text)
+        )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
                CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
-        FROM documents a JOIN documents b
+        FROM d a JOIN d b
           ON a.lang = b.lang
          AND a.doc_id < b.doc_id
          AND abs(a.n_chars - b.n_chars) <= {_MAX_EDITS}
-        WHERE a.text IS NOT NULL AND b.text IS NOT NULL
-          AND levenshtein(a.text, b.text) <= {_MAX_EDITS}
+        WHERE levenshtein(a.text, b.text) <= {_MAX_EDITS}
     """,
     description=f"edit-distance near-dup verify: (lang, length-bucket) "
     f"blocking (lossless for distance <= {_MAX_EDITS}; probe meets each "
@@ -108,5 +116,13 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     across blocks; the oracle's theta-join form is the same SET of
     pairs, reached without the blocking (DuckDB's planner handles the
     small oracle scale; the blocked form is the one that shuffles by
-    (lang, bucket) on a cluster)."""
-    return edit_distance_pairs(load(spark, sf_dir, "documents"))
+    (lang, bucket) on a cluster).
+
+    The single-byte restriction exists ONLY to keep the DuckDB oracle
+    exact (byte- vs code-point-based levenshtein, see the oracle
+    comment); call ``edit_distance_pairs`` directly for full-unicode
+    corpora."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.length("text") == F.octet_length("text")
+    )
+    return edit_distance_pairs(docs)

@@ -243,7 +243,9 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(avg(k), 4)       AS avg_k
         FROM (
             SELECT event_type,
-                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                   CASE WHEN json_valid(props)
+                        THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                        END AS k
             FROM events
         )
         GROUP BY event_type

@@ -54,7 +54,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(len(list_distinct(string_split(text, ' ')))
                      / len(string_split(text, ' ')), 4)                    AS ttr,
                round((length(text) - length(replace(text, ' ', '')))
-                     / length(text), 4)                                    AS space_ratio,
+                     / nullif(length(text), 0), 4)                         AS space_ratio,
                round(length(text) / len(string_split(text, ' ')), 4)      AS avg_token_len,
                CASE WHEN len(string_split(text, ' ')) >= 20
                          AND len(list_distinct(string_split(text, ' ')))
@@ -71,7 +71,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(toks).cast("double")
     n_chars = F.length("text").cast("double")
     ttr = F.size(F.array_distinct(toks)) / n_tok
-    space_ratio = (n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))) / n_chars
+    # nullif: an empty text has 0 chars — NULL ratio (both engines), not
+    # an ANSI divide-by-zero abort
+    space_ratio = (
+        n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    ) / F.nullif(n_chars, F.lit(0.0))
     return d.select(
         "doc_id",
         F.round(ttr, 4).alias("ttr"),

@@ -83,6 +83,7 @@ def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
                count(*)               AS n_events,
                round(sum(value), 4)   AS total_value
         FROM events
+        WHERE ts IS NOT NULL  -- F.window drops NULL event times
         GROUP BY 1, 2
     """,
     description="Structured Streaming: watermark + 1h tumbling window agg "
@@ -113,6 +114,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL  -- the watermark drops NULL event times
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ),
         sessions AS (

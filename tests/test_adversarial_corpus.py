@@ -10,7 +10,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from orca_spark.queries import queries
+from orca_spark.queries import oracle_sql, queries
+from tests.conftest import compare_query
 
 _NASTY_TEXTS = [
     "",                       # empty string -> [''] token
@@ -106,3 +107,16 @@ def nasty_dir(tmp_path_factory):
 def test_query_total_over_degenerate_documents(spark, nasty_dir, name):
     df = queries()[name](spark, nasty_dir)
     assert df.count() >= 0  # must not raise, whatever it returns
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in _DOC_QUERIES if n in oracle_sql()]
+)
+def test_oracle_agreement_over_degenerate_documents(spark, duck, nasty_dir, name):
+    """Totality is not enough: a query can survive degenerate input yet
+    silently DIVERGE from its oracle there (count() prunes the very
+    expressions that differ). Run the full value-level compare on the
+    nasty corpus — this caught an ANSI divide-by-zero (quality score),
+    a NULL-length segment count (line-level dedup), and byte- vs
+    code-point levenshtein, all green on the sf corpora."""
+    compare_query(spark, duck, queries()[name], oracle_sql()[name], nasty_dir)

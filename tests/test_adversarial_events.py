@@ -10,7 +10,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from orca_spark.queries import queries
+from orca_spark.queries import oracle_sql, queries
+from tests.conftest import compare_query
 
 
 def _ts(y, m, d, h=0):
@@ -79,7 +80,41 @@ def nasty_events_dir(tmp_path_factory):
     return str(d)
 
 
+# Excluded from value-level oracle agreement (still totality-checked):
+# * streaming_dedup_user_event_types — watermark-mechanics artifacts a
+#   batch oracle cannot model: the epoch-0 event equals the INITIAL
+#   watermark and is dropped as late, while the NULL-event-time row is
+#   carried through; both are pathological-timestamp edges, not dedup
+#   semantics.
+# * events_type_median_pandas_agg — interpolated quantiles at |value|
+#   ~1e12 sit exactly at round(,4) granularity (ulp of 7e11 ≈ 1e-4), so
+#   the two engines' interpolation orders can disagree in the rounded
+#   digit; magnitudes on the sf corpora are bounded and exact there.
+_ORACLE_AGREEMENT_EXCLUDED = {
+    "streaming_dedup_user_event_types",
+    "events_type_median_pandas_agg",
+}
+
+
 @pytest.mark.parametrize("name", _EVENT_QUERIES)
 def test_query_total_over_degenerate_events(spark, nasty_events_dir, name):
     df = queries()[name](spark, nasty_events_dir)
     assert df.count() >= 0  # must not raise
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n
+        for n in _EVENT_QUERIES
+        if n in oracle_sql() and n not in _ORACLE_AGREEMENT_EXCLUDED
+    ],
+)
+def test_oracle_agreement_over_degenerate_events(spark, duck, nasty_events_dir, name):
+    """Value-level Spark-vs-DuckDB compare on the degenerate event rows
+    (NULL ts/key/type/value, epoch-0, far-future, malformed JSON) — the
+    totality test alone let NULL-ordering and malformed-JSON
+    divergences sit latent."""
+    compare_query(
+        spark, duck, queries()[name], oracle_sql()[name], nasty_events_dir
+    )

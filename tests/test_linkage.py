@@ -69,3 +69,14 @@ def test_null_text_excluded(spark):
     )
     got = _pairs(edit_distance_pairs(df))
     assert got == {(1, 2): 1}
+
+
+def test_unicode_distance_is_code_point_based(spark):
+    """The engine operator counts CODE POINTS (Spark semantics): an
+    accent substitution is distance 1 even though it is a multi-byte
+    edit. (The registered oracle query restricts to single-byte text
+    because DuckDB's levenshtein counts bytes — this pins the general
+    operator's unicode behavior locally.)"""
+    rows = [("héllo wörld", "xx"), ("hallo wörld", "xx")]
+    got = _pairs(edit_distance_pairs(_docs(spark, rows)))
+    assert got == {(0, 1): 1}
