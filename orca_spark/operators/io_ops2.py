@@ -27,15 +27,20 @@ from orca_spark.tables import load
 def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     path = scratch_path("csv_roundtrip", sf_dir)
+    # explicit NULL sentinel: CSV's default collapses NULL and '' into
+    # one token, silently merging their groups on read-back — the \\N
+    # convention keeps the distinction round-trip-safe
     (
         o.write.mode("overwrite")
         .option("header", "true")
+        .option("nullValue", "\\N")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
         .csv(path)
     )
     back = (
         spark.read.schema(o.schema)  # explicit schema: no inference pass at scale
         .option("header", "true")
+        .option("nullValue", "\\N")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
         .csv(path)
     )
@@ -130,6 +135,8 @@ def orc_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(min(doc_id) AS BIGINT) AS min_doc,
                CAST(max(doc_id) AS BIGINT) AS max_doc
         FROM documents
+        -- the line format can only represent rows with both fields
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
     """,
     description="line-oriented text source round-trip: documents written "
     "as tab-separated lines (spark.write.text), read back with the text "
@@ -137,7 +144,12 @@ def orc_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crawled datasets; aggregate proves lossless round-trip",
 )
 def text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # a tab-separated line cannot represent a NULL id or NULL text
+    # (concat_ws would silently SKIP the null and shift fields on
+    # re-parse) — the representable subset is the operator's contract
+    d = load(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     path = scratch_path("text_roundtrip", sf_dir)
     (
         d.select(F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value"))

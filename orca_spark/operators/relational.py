@@ -540,9 +540,11 @@ def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
                upper(p_name)                       AS name_upper,
                CAST(length(p_name) AS BIGINT)      AS name_len,
                substr(p_type, 1, 5)                AS type_prefix,
-               round(sqrt(p_size), 4)              AS size_sqrt,
+               CASE WHEN p_size >= 0
+                    THEN round(sqrt(p_size), 4) END AS size_sqrt,
                round(abs(p_retailprice - 1000.0), 2) AS price_dist,
-               concat(p_brand, '#', p_type)        AS brand_type
+               concat(coalesce(p_brand, ''), '#', coalesce(p_type, ''))
+                                                   AS brand_type
         FROM part
     """,
     description="built-in scalar functions (string/math) — all JVM-side, "
@@ -555,9 +557,15 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_name").alias("name_upper"),
         F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_type", 1, 5).alias("type_prefix"),
-        F.round(F.sqrt("p_size"), 4).alias("size_sqrt"),
+        # negative size: NULL, aligned on both engines (Spark sqrt would
+        # give NaN, DuckDB would raise — neither is the other's behavior)
+        F.when(F.col("p_size") >= 0, F.round(F.sqrt("p_size"), 4)).alias("size_sqrt"),
         F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dist"),
-        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        # explicit coalesce: concat_ws SKIPS nulls and their separator
+        # ('type' not '#type'), DuckDB concat treats them as '' — align
+        F.concat(
+            F.coalesce("p_brand", F.lit("")), F.lit("#"), F.coalesce("p_type", F.lit(""))
+        ).alias("brand_type"),
     )
 
 

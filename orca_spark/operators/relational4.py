@@ -202,7 +202,8 @@ def correlated_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_regex_extract",
     oracle=r"""
         SELECT event_id,
-               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_value,
+               CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+                    AS BIGINT)                                          AS k_value,
                regexp_matches(props, '^\{.*\}$')                        AS looks_like_json
         FROM events
     """,
@@ -213,7 +214,10 @@ def scalar_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("k_value"),
+        # no-match yields '' — nullif before the cast (ANSI aborts on '')
+        F.nullif(
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1), F.lit("")
+        ).cast("long").alias("k_value"),
         F.col("props").rlike(r"^\{.*\}$").alias("looks_like_json"),
     )
 

@@ -67,10 +67,14 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_from_json_struct",
     oracle="""
-        SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        FROM events
-        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        SELECT event_id, k FROM (
+            -- json_valid + TRY_CAST mirror from_json's NULL-on-malformed
+            SELECT event_id,
+                   CASE WHEN json_valid(props)
+                        THEN TRY_CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT) END AS k
+            FROM events
+        ) WHERE k > 50
     """,
     description="typed JSON parsing: from_json into a struct schema (vs "
     "get_json_object string extraction) + pushable predicate on the field",

@@ -160,14 +160,21 @@ def load_embeddings(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
 
     Contract: a missing (NULL) embedding is EXCLUDED — real corpora
     always have vectorization gaps and a null row must not abort a
-    corpus-wide dedup; a WRONG-WIDTH embedding RAISES here, once per
+    corpus-wide dedup; a ZERO-NORM embedding is likewise EXCLUDED (an
+    encoder-failure artifact with no direction: every cosine against it
+    divides by zero, which under ANSI mode aborts the whole job — the
+    exclusion runs once at the scan via a short-circuiting exists());
+    a WRONG-WIDTH embedding RAISES here, once per
     row at the scan (silently-wrong similarity scores are worse than a
     loud failure). Downstream dot()/cosine() calls on the returned
     frame pass ``validated=True`` and skip their per-evaluation width
     guards — the whole point of asserting at the load boundary: the
     check runs O(n) times at the scan instead of O(pairs) times inside
     the scoring joins. Extra columns pass through by name."""
-    emb = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x != 0)
+    )
     checked = F.expr(
         f"case when embedding is null then embedding"
         f" when size(embedding) = {_DIM} then embedding"
@@ -206,8 +213,8 @@ def brute_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFr
     "similarity_brute_topk",
     oracle=f"""
         WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                   FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_N_QUERIES}),
-        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
+                   FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND vec_id < {_N_QUERIES}),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
         scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    round(list_dot_product(q.e, c.e)
@@ -239,7 +246,7 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                            CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
         FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
     """,
     description="per-vector L2 norm (narrow map, no shuffle)",
 )
@@ -252,7 +259,7 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_pairs",
     oracle="""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL),
+                   FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
         scored AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    list_dot_product(a.v, b.v)
@@ -298,7 +305,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle="""
         WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL),
+                   FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
         dims AS (
             SELECT label, i, avg(v[i]) AS c
             FROM e, generate_series(1, 64) AS t(i)
@@ -363,7 +370,7 @@ def annotate_lexical_jaccard(sem: DataFrame, docs: DataFrame) -> DataFrame:
 @register(
     "semantic_vs_lexical_dedup",
     oracle="""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
         sem AS (
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    list_dot_product(a.v, b.v)
