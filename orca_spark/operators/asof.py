@@ -68,6 +68,12 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
     )
+    # a right row with a NULL key or NULL timestamp can match no left
+    # row under equi+>= semantics (NULL comparisons are never true) —
+    # and unfiltered, a NULL-ts row would sort FIRST in the carry
+    # window (Spark ASC = NULLS FIRST) and leak its values into every
+    # event of the partition
+    right = right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     tagged_right = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -135,4 +141,78 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "o_orderkey",
         F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@register(
+    "orders_temporal_state_join",
+    oracle="""
+        WITH dedup AS (
+            -- same-instant changes: the max-event_id record wins (its
+            -- interval is the live one; the others are zero-length) —
+            -- deduped BEFORE intervalization so the as-of carry has a
+            -- unique row per (user, instant) and no tiebreak ambiguity
+            SELECT user_id, ts AS valid_from,
+                   arg_max(value, event_id) AS value
+            FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY user_id, ts
+        ),
+        iv AS (
+            SELECT user_id, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from) AS valid_to,
+                   value
+            FROM dedup
+        )
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               iv.valid_from AS state_since,
+               round(iv.value, 4) AS state_value
+        FROM orders o LEFT JOIN iv
+          ON o.o_custkey = iv.user_id
+         AND o.o_orderdate >= iv.valid_from
+         AND (o.o_orderdate < iv.valid_to OR iv.valid_to IS NULL)
+    """,
+    description="temporal (SCD2) state join: each order enriched with "
+    "the user's event-state interval ACTIVE at order time. Because "
+    "consecutive intervals tile each user's timeline, interval "
+    "containment is equivalent to an as-of join on valid_from — one "
+    "union+window shuffle, never a range-join explosion; zero-length "
+    "intervals (same-instant changes) match nothing on both engines "
+    "by the half-open [from, to) convention",
+)
+def orders_temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical to asof_join — one shuffle on the user key, no
+    per-event interval scan. The state rides as ONE STRUCT column
+    through the carry window: asof_join's last(ignorenulls) carry
+    would otherwise skip over a legitimately-NULL state VALUE and
+    resurrect an older one; the struct is non-null whenever a state
+    row exists, so NULL-valued states carry faithfully."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    # same-instant dedupe (max event_id wins): without it, two state
+    # rows sharing a timestamp have no defined order in the carry
+    # window and the surviving value would be partition-order luck
+    state = (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .groupBy("user_id", F.col("ts").alias("valid_from"))
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .select(
+            "user_id",
+            "valid_from",
+            F.struct(F.col("valid_from").alias("since"), "value").alias("state"),
+        )
+    )
+    out = asof_join(
+        o, state, on="user_id", left_ts="ts", right_ts="valid_from",
+        value_cols=["state"],
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").alias("o_orderdate"),
+        F.col("state.since").alias("state_since"),
+        F.round(F.col("state.value"), 4).alias("state_value"),
     )

@@ -26,9 +26,15 @@ def _dupes(df: DataFrame, *keys: str):
 
 
 def _orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
-    """Count of child rows whose FK has no parent row."""
+    """Count of child rows whose NON-NULL FK has no parent row.
+
+    A NULL FK means "no reference" — it is the NOT-NULL contract's
+    business (a separate check), not a dangling reference; counting it
+    here would also diverge from any NOT IN-style oracle, where a NULL
+    probe is UNKNOWN, never a violation."""
     return (
         child.select(F.col(ckey).alias("k"))
+        .where(F.col("k").isNotNull())
         .join(parent.select(F.col(pkey).alias("k")).distinct(), "k", "left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -52,20 +58,28 @@ def _orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
         UNION ALL
         SELECT 'lineitem_orderkey_fk',
                CAST(count(*) AS BIGINT)
-        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderkey IS NOT NULL)
         UNION ALL
         SELECT 'orders_custkey_fk',
                CAST(count(*) AS BIGINT)
-        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL)
         UNION ALL
         SELECT 'customer_nationkey_fk',
                CAST(count(*) AS BIGINT)
         FROM customer
-        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        WHERE c_nationkey IS NOT NULL
+          AND c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                  WHERE n_nationkey IS NOT NULL)
         UNION ALL
         SELECT 'nation_regionkey_fk',
                CAST(count(*) AS BIGINT)
-        FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+        FROM nation WHERE n_regionkey IS NOT NULL
+          AND n_regionkey NOT IN (SELECT r_regionkey FROM region
+                                  WHERE r_regionkey IS NOT NULL)
         UNION ALL
         SELECT 'events_user_nonnull',
                CAST(count(*) AS BIGINT)

@@ -417,6 +417,7 @@ def connected_components(
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION SELECT doc_b, doc_a FROM pairs
             UNION SELECT doc_id, doc_id FROM documents
+            WHERE doc_id IS NOT NULL
         ),
         reach AS (
             SELECT src, dst FROM edges
@@ -439,7 +440,10 @@ def connected_components(
     "closure of the exact pair graph",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # a NULL doc_id cannot be clustered — the id IS the cluster-label
+    # space (and every equi-join in the label propagation would drop it
+    # anyway); excluded by contract on both engines
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     # Stage 0 — exact-duplicate contraction: docs with the SAME distinct
     # token set always share a cluster (jaccard 1), so collapse each
     # identity group to its min-doc_id representative before the

@@ -99,6 +99,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL  -- no position in time => no session
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (
@@ -120,7 +121,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lag + running sum (batch analog of session_window)",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # a NULL-ts event has no position in time and therefore no session —
+    # excluded on both engines (their NULL sort orders differ, so leaving
+    # them in would make session boundaries engine-dependent)
+    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact gap so the 30-min threshold compares identically
     # in Spark and the oracle (no truncation at second granularity)

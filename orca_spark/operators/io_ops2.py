@@ -255,7 +255,9 @@ def parquet_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'clean' AS status,
                count(*) AS n,
                CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-        FROM documents WHERE doc_id % 10 <> 0
+        -- NULL doc_id: the mangling rule can't select it (NULL % 10 is
+        -- UNKNOWN), so the line is written as JSON and parses clean
+        FROM documents WHERE doc_id % 10 <> 0 OR doc_id IS NULL
         UNION ALL
         SELECT 'quarantined' AS status,
                count(*) AS n,

@@ -158,7 +158,10 @@ def _activity_cogroup(key: tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.Data
     # aggregate semantics the oracle expresses)
     return pd.DataFrame(
         {
-            "user_id": pd.Series([key[0]], dtype="int64"),
+            # nullable Int64: a NULL grouping key is a legitimate group
+            # (cogroup pairs it across both sides) and must not crash
+            # the int64 cast — it flows through Arrow as a NULL bigint
+            "user_id": pd.array([key[0]], dtype="Int64"),
             "n_events": pd.Series([len(ev)], dtype="int64"),
             # raw sums — rounding happens OUTSIDE Python via F.round
             # (HALF_UP, matching SQL) because Python's round() is
@@ -190,7 +193,10 @@ def _activity_cogroup(key: tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.Data
                events_value,
                coalesce(n_orders, 0)          AS n_orders,
                orders_value
-        FROM e FULL OUTER JOIN o ON user_id = o_custkey
+        -- null-safe equality: cogroup pairs the NULL-key GROUPS of the
+        -- two sides (grouping semantics), unlike a plain join's
+        -- NULL <> NULL — IS NOT DISTINCT FROM expresses exactly that
+        FROM e FULL OUTER JOIN o ON user_id IS NOT DISTINCT FROM o_custkey
     """,
     description="cogrouped Arrow map (groupBy.cogroup.applyInPandas): "
     "each user's events AND orders arrive as two aligned pandas frames "

@@ -485,7 +485,7 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice) OVER (
                    PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey
+                   ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
         FROM orders
     """,

@@ -73,7 +73,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist()    OVER w, 6) AS cume
         FROM orders
-        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        WINDOW w AS (ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
     """,
     description="distribution window functions: ntile quartiles, "
     "percent_rank, cume_dist over a global ordering. NOTE: an unpartitioned "
@@ -99,7 +99,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist()    OVER w, 6) AS cume
         FROM orders
-        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        WINDOW w AS (ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
     """,
     description="EXACT distribution stats (ntile/percent_rank/cume_dist) "
     "without the single-reducer global window: range-repartition on the "
@@ -156,8 +156,11 @@ def window_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rolling_7day",
     oracle="""
         WITH daily AS (
+            -- no position in time => no day bucket (also sidesteps a
+            -- DuckDB 1.0 window-sort quirk where a NULL timestamp from
+            -- a parquet scan ties with epoch-0 under NULLS FIRST)
             SELECT date_trunc('day', ts) AS day, count(*) AS n
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         )
         SELECT day, n,
                CAST(sum(n) OVER (ORDER BY day
@@ -168,7 +171,8 @@ def window_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "then an ordered window — never a per-event range scan",
 )
 def events_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # NULL-ts events have no day bucket — excluded on both engines
+    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     # day stays a timestamp: DATE round-trips differently through the
     # comparison layer (datetime.date vs datetime64) than TIMESTAMP does
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(

@@ -16,7 +16,7 @@ from orca_spark.tables import load
     oracle="""
         SELECT o_year,
                round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                     / sum(volume), 6) AS mkt_share
+                     / nullif(sum(volume), 0), 6) AS mkt_share
         FROM (
             SELECT CAST(year(o_orderdate) AS INT) AS o_year,
                    l_extendedprice * (1 - l_discount) AS volume,
@@ -47,9 +47,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
     )
-    share = F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0)) / F.sum(
-        "volume"
-    )
+    # nullif: a year whose volumes cancel to 0 (possible with 100%%
+    # discounts) yields NULL share, not an ANSI divide-by-zero abort
+    share = F.sum(
+        F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0)
+    ) / F.nullif(F.sum("volume"), F.lit(0.0))
     return j.groupBy("o_year").agg(F.round(share, 6).alias("mkt_share"))
 
 

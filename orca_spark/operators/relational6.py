@@ -64,7 +64,8 @@ def join_full_outer_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
                last_value(o_totalprice)  OVER w AS last_price,
                nth_value(o_totalprice, 2) OVER w AS second_price
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     description="positional window values: first/last/nth order price "

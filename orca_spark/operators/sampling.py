@@ -99,13 +99,16 @@ def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH dec AS (
             SELECT doc_id, n_chars,
-                   ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+                   ntile(10) OVER (ORDER BY n_chars NULLS FIRST,
+                                   doc_id NULLS FIRST) AS decile
             FROM documents
         )
         SELECT doc_id, n_chars,
                CAST(decile AS BIGINT) AS decile,
                CAST(row_number() OVER (
-                   ORDER BY decile, md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ORDER BY decile NULLS FIRST,
+                            md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+                            doc_id NULLS FIRST
                ) AS BIGINT) AS curriculum_rank
         FROM dec
     """,

@@ -15,7 +15,8 @@ from orca_spark.tables import load
     oracle=r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '\w{1,4}')) AS BIGINT) AS n_bpe_tokens,
-               round(length(text) / len(regexp_extract_all(text, '\w{1,4}')), 4)
+               round(length(text)
+                     / nullif(len(regexp_extract_all(text, '\w{1,4}')), 0), 4)
                    AS chars_per_token
         FROM documents
     """,
@@ -29,7 +30,11 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.cast("long").alias("n_bpe_tokens"),
-        F.round(F.length("text") / n.cast("double"), 4).alias("chars_per_token"),
+        # nullif: a doc with no word chars (empty text) is NULL, not an
+        # ANSI divide-by-zero abort
+        F.round(
+            F.length("text") / F.nullif(n.cast("double"), F.lit(0.0)), 4
+        ).alias("chars_per_token"),
     )
 
 

@@ -64,11 +64,15 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
 
     ev = load(spark, sf_dir, "events")  # ts already µs-normalized
-    ev.where(F.col("event_id") % 2 == 0).write.parquet(in_dir)
+    # coalesce: the two batches must PARTITION the table — a NULL
+    # event_id satisfies neither `% 2 == 0` nor `% 2 == 1` and would be
+    # silently dropped from the ingest
+    batch = F.coalesce(F.col("event_id") % 2, F.lit(0))
+    ev.where(batch == 0).write.parquet(in_dir)
     schema = spark.read.parquet(in_dir).schema
     run_available_now(spark, in_dir, schema, out_dir, ckpt)
     # the "next day": more files land in the same directory
-    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    ev.where(batch == 1).write.mode("append").parquet(in_dir)
     run_available_now(spark, in_dir, schema, out_dir, ckpt)
 
     back = spark.read.parquet(out_dir)
