@@ -56,6 +56,12 @@ HEADLINE = [
     "text_vocab_oov",
     "contrastive_hard_negatives",
     "zorder_layout_roundtrip",
+    # round-5 batch-2: the blocked+banded edit-distance verify (the
+    # heaviest new scale path), the trigram language classifier, and
+    # the as-of-backed temporal SCD2 state join
+    "dedup_edit_distance",
+    "text_langid_trigram",
+    "orders_temporal_state_join",
 ]
 
 
