@@ -109,7 +109,10 @@ def asof_join(
             -- engines dedupe identically first (keep max orderkey)
             SELECT o_custkey, o_orderdate,
                    arg_max(o_orderkey, o_orderkey)   AS o_orderkey,
-                   arg_max(o_totalprice, o_orderkey) AS o_totalprice
+                   -- struct-wrapped: arg_max would SKIP a NULL
+                   -- totalprice on the max-orderkey row (Spark's
+                   -- max_by would return it) — see the temporal join
+                   arg_max({'v': o_totalprice}, o_orderkey).v AS o_totalprice
             FROM orders
             GROUP BY o_custkey, o_orderdate
         )
@@ -131,16 +134,28 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
         .agg(
             F.max("o_orderkey").alias("o_orderkey"),
-            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+            F.max_by(
+                F.struct(F.col("o_totalprice").alias("v")), "o_orderkey"
+            ).getField("v").alias("o_totalprice"),
         )
+    )
+    # one struct, not two bare columns: the carry window's
+    # last(ignorenulls) would otherwise skip a legitimately-NULL
+    # totalprice and resurrect an older order's price (the struct is
+    # non-null whenever an order exists, so NULL fields carry
+    # faithfully)
+    o = o.select(
+        "user_id", "o_orderdate",
+        F.struct("o_orderkey", "o_totalprice").alias("o"),
     )
     out = asof_join(
         e, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
-        value_cols=["o_orderkey", "o_totalprice"],
+        value_cols=["o"],
     )
     return out.select(
-        "event_id", "user_id", "ts", "o_orderkey",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "event_id", "user_id", "ts",
+        F.col("o.o_orderkey").alias("o_orderkey"),
+        F.round(F.col("o.o_totalprice"), 2).alias("o_totalprice"),
     )
 
 
@@ -152,8 +167,12 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- interval is the live one; the others are zero-length) —
             -- deduped BEFORE intervalization so the as-of carry has a
             -- unique row per (user, instant) and no tiebreak ambiguity
+            -- value rides inside a struct: DuckDB's arg_max SKIPS rows
+            -- whose value argument is NULL (Spark's max_by does not) —
+            -- a never-NULL struct makes both engines pick the same
+            -- max-event_id row and carry its value even when NULL
             SELECT user_id, ts AS valid_from,
-                   arg_max(value, event_id) AS value
+                   arg_max({'v': value}, event_id).v AS value
             FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
             GROUP BY user_id, ts
         ),
@@ -198,7 +217,9 @@ def orders_temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
         .groupBy("user_id", F.col("ts").alias("valid_from"))
-        .agg(F.max_by("value", "event_id").alias("value"))
+        # struct-wrapped for the same reason as the oracle's arg_max
+        .agg(F.max_by(F.struct(F.col("value").alias("v")), "event_id").alias("_w"))
+        .select("user_id", "valid_from", F.col("_w.v").alias("value"))
         .select(
             "user_id",
             "valid_from",

@@ -36,7 +36,8 @@ _WINSOR_HI = 0.99
         WITH seq AS (
             SELECT user_id, event_type,
                    lag(event_type) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id NULLS FIRST
                    ) AS prev_type
             FROM events WHERE ts IS NOT NULL
         ),

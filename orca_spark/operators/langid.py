@@ -81,12 +81,11 @@ def langid_trigram_df(docs: DataFrame, n: int = _PROFILE_N) -> DataFrame:
         .select("doc_id", "lang", "tri", "drank")
     )
 
+    # candidates from the trigram frame itself (one source of truth
+    # with the profile training filter — a re-stated doc filter here
+    # could silently drift from _trigrams' eligibility rule)
     langs = (
-        docs.where(
-            F.col("text").isNotNull()
-            & (F.length("text") >= 3)
-            & F.col("lang").isNotNull()
-        )
+        tri.where(F.col("lang").isNotNull())
         .select(F.col("lang").alias("cand_lang"))
         .distinct()
     )

@@ -85,13 +85,22 @@ def events_type_median_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    # SQL aggregate semantics: NULLs are ignored, an all-NULL group is
+    # NULL — np.percentile would instead poison the whole group to NaN
+    # from one missing value
+    def _pct(v: pd.Series, q: float):
+        arr = v.dropna().to_numpy()
+        if arr.size == 0:
+            return None
+        return float(np.percentile(arr, q))
+
     @pandas_udf("double")
     def median_udf(v: pd.Series) -> float:
-        return float(np.percentile(v.to_numpy(), 50))
+        return _pct(v, 50)
 
     @pandas_udf("double")
     def p90_udf(v: pd.Series) -> float:
-        return float(np.percentile(v.to_numpy(), 90))
+        return _pct(v, 90)
 
     # round OUTSIDE Python (F.round is HALF_UP like SQL; Python's
     # round() is half-even and flips on boundary values)

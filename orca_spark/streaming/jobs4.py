@@ -67,7 +67,9 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce: the two batches must PARTITION the table — a NULL
     # event_id satisfies neither `% 2 == 0` nor `% 2 == 1` and would be
     # silently dropped from the ingest
-    batch = F.coalesce(F.col("event_id") % 2, F.lit(0))
+    # pmod, not %: Spark's % takes the dividend's sign, so a negative
+    # odd id would yield -1 and fall out of both batches
+    batch = F.coalesce(F.pmod(F.col("event_id"), F.lit(2)), F.lit(0))
     ev.where(batch == 0).write.parquet(in_dir)
     schema = spark.read.parquet(in_dir).schema
     run_available_now(spark, in_dir, schema, out_dir, ckpt)

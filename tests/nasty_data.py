@@ -59,6 +59,16 @@ _NASTY_ROWS: dict[str, list[dict]] = {
     ],
     "orders": [
         {},
+        # duplicate (custkey, orderdate) where the MAX-orderkey row has a
+        # NULL totalprice: pins the struct-wrapped arg_max/max_by dedup
+        # (DuckDB's bare arg_max skips NULL values; Spark's max_by does
+        # not)
+        {"o_orderkey": 999_993, "o_custkey": 7, "o_orderstatus": "O",
+         "o_totalprice": 111.11, "o_orderdate": 1_700_000_000_000_000,
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 999_994, "o_custkey": 7, "o_orderstatus": "O",
+         "o_totalprice": None, "o_orderdate": 1_700_000_000_000_000,
+         "o_orderpriority": "1-URGENT"},
         {
             "o_orderkey": 999_991,
             "o_custkey": 999_999,  # dangling high FK
@@ -107,6 +117,18 @@ _NASTY_ROWS: dict[str, list[dict]] = {
     ],
     "events": [
         {},
+        # negative odd id (sign-following % would drop it from a %2
+        # batch split), NULL id with a real ts (tie-order and dedup
+        # tiebreak edges), and a same-instant pair whose max-id record
+        # carries a NULL value (the arg_max/max_by struct-wrap case)
+        {"event_id": -3, "ts": 1_700_000_100_000_000, "user_id": 5,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": None, "ts": 1_700_000_100_000_000, "user_id": 5,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 999_988, "ts": 1_700_000_200_000_000, "user_id": 6,
+         "event_type": "click", "value": 3.5, "props": "{}"},
+        {"event_id": 999_989, "ts": 1_700_000_200_000_000, "user_id": 6,
+         "event_type": "view", "value": None, "props": "{}"},
         {"event_id": 999_990, "ts": _EPOCH0, "user_id": 999_999,
          "event_type": "", "value": 1.0e12, "props": "{bad json"},
         {"event_id": 999_991, "ts": _FUTURE_US, "user_id": None,
