@@ -11,13 +11,16 @@ adapter over its query registry.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from orca_spark import queries as _q  # noqa: E402
 from orca_spark.session import configure_session  # noqa: E402
@@ -27,6 +30,42 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
     configure_session(spark)
     return _q.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+
+
+def verification_order(names: list[str]) -> list[str]:
+    """Rotate the registry so the driver's per-round verification prefix
+    always lands on the queries that need it most.
+
+    The driver verifies a fixed-size prefix of ``queries()`` per round, so
+    ordering IS the verification schedule. Rather than hand-rotating
+    module imports (the r02–r05 approach, which went stale the moment a
+    module mixed verified and unverified queries), derive the schedule
+    from the committed ``CORRECTNESS_r*.json`` evidence:
+
+    1. queries with no green driver row ever, in registry order;
+    2. then green queries, oldest verification round first (true
+       round-robin re-verification), registry order as tiebreak.
+
+    A row counts as green only if the value-hash matched or the driver
+    recorded the documented ``no_oracle`` rows-only pass; a crashed or
+    mismatched row leaves the query "unverified" so it re-enters the
+    prefix next round.
+    """
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+            rows = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last_green.get(n, -1), order[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -39,9 +78,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, fn in _q.queries().items()}
+    base = _q.queries()
+    return {name: wrap(base[name]) for name in verification_order(list(base))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same aliases, same rounding)."""
-    return _q.oracle_sql()
+    base = _q.oracle_sql()
+    full = _q.queries()
+    return {n: base[n] for n in verification_order(list(full)) if n in base}

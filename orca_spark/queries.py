@@ -4,24 +4,16 @@ from __future__ import annotations
 
 from orca_spark.registry import REGISTRY, QuerySpec
 
-# Importing the operator modules registers their queries. ORDER MATTERS:
-# the correctness harness verifies registry entries in insertion order and
-# may only cover a prefix per round, so each round rotates the modules
-# whose queries most need fresh verification to the front (round 5: the
-# similarity family FIRST — similarity2 holds the only two registered
-# queries that have never seen a driver row, embedding_near_dup_pairs_gram
-# and semantic_vs_lexical_dedup_bucketed, and this round removed the
-# per-pair width guards from every scoring join — then multimodal (PPM
-# CRLF header fix), the streaming jobs (state store switched to RocksDB,
-# incremental-ingest job new in r05), and the io/relational/pandas
-# families whose loads ride the reworked widen() — then the long-verified
-# tail, every member of which has a green driver row from r01-r04).
-#
-# r05 prefix budget: slots 0-49 are exactly filled — every query that
-# has never seen a driver row sits at slot <= 49 except the named
-# deferrals below (enforced by test_registry_contract.py::
-# test_r05_verification_prefix_boundary; recount before adding any
-# registration to a module imported above the relational7 block).
+# Importing the operator modules registers their queries. Registration
+# order here is only a stable tiebreak: since r05 the driver-facing
+# adapter (__spark_entry__.verification_order) re-orders the registry
+# from the committed CORRECTNESS_r*.json evidence — never-driver-green
+# queries first, then green ones oldest-round first — so the driver's
+# fixed 50-slot verification prefix always lands on the queries that
+# need it most, with no manual import rotation (the r02–r05 approach,
+# which went stale whenever a module mixed verified and unverified
+# queries). Invariants pinned by test_registry_contract.py::
+# test_verification_prefix_self_rotates.
 from orca_spark.operators import similarity2, similarity  # noqa: F401
 from orca_spark.operators import text6  # noqa: F401  (new in r05: TF-IDF/BM25)
 from orca_spark.operators import multimodal  # noqa: F401

@@ -105,24 +105,42 @@ def test_coerce_or_null_never_raises(garbage):
     assert len(rows) == len(garbage)
 
 
-def test_r05_verification_prefix_boundary():
-    """The driver verifies only the first 50 registry entries per round;
-    queries.py promises every never-driver-verified r05 query sits at
-    slot <= 49 (with the named deferrals at the END of the registry).
-    Pin the boundary so a future registration in a prefix module can't
-    silently push a query out of its verification slot."""
+def test_verification_prefix_self_rotates():
+    """The driver verifies only the first 50 ``__spark_entry__.queries()``
+    entries per round; since r05 the entry adapter computes that order
+    from the committed CORRECTNESS evidence (never-green first, then
+    oldest-green), so no registration can silently starve a query of its
+    verification slot. Pin the mechanism's invariants:
+
+    - every query the registry knows is in the adapter's order exactly once;
+    - no ever-green query precedes a never-green one;
+    - among green queries, an older last-green round never follows a
+      newer one;
+    - oracle_sql() iterates in the same order (the driver zips them).
+    """
+    import __spark_entry__ as entry_mod
+
     names = list(queries())
-    assert names[49] == "contrastive_hard_negatives", names[45:52]
-    deferred = {
-        "dedup_minhash_incremental",
-        "text_canonicalize",
-        "corpus_mix_resample",
-        "provenance_file_lineage",
-        "dedup_jaccard_histogram",
-        "dedup_source_overlap_matrix",
-        "events_anomaly_flags",
-    }
-    # deferrals really are past the prefix (they re-enter via rotation
-    # next round, tracked in queries.py's comment)
-    for d in deferred:
-        assert names.index(d) >= 50, (d, names.index(d))
+    ordered = entry_mod.verification_order(names)
+    assert sorted(ordered) == sorted(names)
+
+    import glob
+    import json
+
+    last_green = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(c for c in path if c.isdigit()))
+        for name, row in json.load(open(path)).items():
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    keys = [last_green.get(n, -1) for n in ordered]
+    assert keys == sorted(keys), "verification order must be oldest-green first"
+
+    adapter_q = list(entry_mod.queries())
+    assert adapter_q == ordered
+    adapter_o = list(entry_mod.oracle_sql())
+    assert adapter_o == [n for n in ordered if n in oracle_sql()]
