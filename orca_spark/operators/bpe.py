@@ -1,0 +1,126 @@
+"""Distributed byte-pair-encoding merge training over the corpus.
+
+The real tokenizer-training loop (Sennrich et al. 2016), structured
+the way a 100 TB corpus forces it to be:
+
+1. ONE pass over the documents builds the (word, freq) vocabulary —
+   after this, every iteration runs on the vocabulary table (|V|
+   rows), never the corpus again. This is the standard trainer shape:
+   corpus size pays once, merge count pays |V| per step.
+2. Each merge step: explode adjacent symbol pairs weighted by word
+   frequency (JVM-side `transform`/`explode`, map-side partial agg),
+   pick the argmax pair — a ONE-ROW driver collect, the iterative
+   scalar every trainer needs — and rewrite the symbol arrays with a
+   left-to-right non-overlapping merge (an Arrow-batched pandas UDF:
+   the rewrite is inherently sequential WITHIN a word, embarrassingly
+   parallel ACROSS the vocabulary).
+
+``text_bpe_train_merges`` returns the learned merge table
+(rank, left, right, pair_count) — the artifact a tokenizer ships.
+Iterative argmax is not SQL-expressible, so the gate is behavioral:
+tests/test_text9_graph.py replays the same corpus through a
+pure-Python reference BPE and requires the identical merge sequence.
+
+Cf. ``text_bpe_token_estimate`` (text.py), which only ESTIMATES token
+counts with a fixed regex; this module actually trains the merges.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+_N_MERGES = 6
+
+
+def _merge_word(syms: list, left: str, right: str, joined: str) -> list:
+    """Left-to-right non-overlapping merge of (left, right) -> joined."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(words: DataFrame, n_merges: int = _N_MERGES) -> list[tuple]:
+    """Learn ``n_merges`` BPE merges from a (word, freq) vocabulary.
+
+    Returns [(rank, left, right, pair_count), ...] — ties broken by
+    (count desc, left asc, right asc), fully deterministic.
+
+    Scale notes: the per-step pair count shuffles on (l, r) symbol
+    pairs with map-side combine; the argmax is a single-row collect
+    (the scalar that steers the next step — same bounded pattern as
+    connected components' convergence sum). The vocabulary table is
+    localCheckpoint'ed each step so the rewrite lineage never stacks.
+    """
+    vocab = words.select(
+        F.filter(F.split("word", ""), lambda c: c != F.lit("")).alias("syms"),
+        F.col("freq"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break  # vocabulary fully merged — nothing adjacent remains
+        left, right, n = top[0].l, top[0].r, top[0].n
+        merges.append((rank, left, right, int(n)))
+
+        joined = left + right
+
+        @F.pandas_udf("array<string>")
+        def apply_merge(col: pd.Series) -> pd.Series:
+            return col.map(lambda s: _merge_word(list(s), left, right, joined))
+
+        vocab = vocab.select(
+            apply_merge("syms").alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@register(
+    "text_bpe_train_merges",
+    description=f"distributed BPE tokenizer training ({_N_MERGES} merges): "
+    "one corpus pass builds the (word, freq) vocabulary, then each step "
+    "counts adjacent symbol pairs JVM-side, collects the single argmax "
+    "row, and rewrites symbol arrays with an Arrow-batched left-to-right "
+    "merge; iterative argmax is not SQL-expressible — gated by a "
+    "pure-Python reference replay (tests/test_text9_graph.py)",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_train(words)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

@@ -86,23 +86,16 @@ from orca_spark.operators import (  # noqa: F401
     profile,
 )
 
-
-# Defer r05 late additions past the 50-slot oracled prefix (slot 49 =
-# contrastive_hard_negatives, pinned by test_registry_contract.py).
-# Every deferral is locally gated — the oracled ones verified at BOTH
-# sf0.001 and sf0.01, the rows-only minhash probe by its planted-dup
-# test — and all rotate into the driver prefix next round.
-for _deferred in (
-    "dedup_minhash_incremental",
-    "text_canonicalize",
-    "corpus_mix_resample",
-    "provenance_file_lineage",
-    "dedup_jaccard_histogram",
-    "dedup_source_overlap_matrix",
-    "events_anomaly_flags",
-):
-    if _deferred in REGISTRY:
-        REGISTRY[_deferred] = REGISTRY.pop(_deferred)
+# r05 batch 3: LM scoring / collocations, BPE merge training, near-dup
+# graph analytics, truncated EWMA. Verification slots are scheduled by
+# __spark_entry__.verification_order (never-green first), not by this
+# import's position.
+from orca_spark.operators import (  # noqa: F401
+    text9,
+    bpe,
+    graph,
+    timeseries2,
+)
 
 
 def queries():
