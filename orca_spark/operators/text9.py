@@ -48,7 +48,7 @@ _PMI_MIN_PAIR = 2  # a pair must co-occur in >= 2 documents
             SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2
         ),
         c1 AS (
-            SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+            SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
         ),
         v AS (SELECT count(DISTINCT w) AS vocab FROM tok)
         SELECT big.doc_id,
@@ -84,7 +84,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bigrams via posexplode + a pos+1 self-join rather than array
     slicing: identical shape to the oracle's generate_subscripts join,
-    and the join is doc_id-local (one shuffle both sides share)."""
+    and the join is doc_id-local (one shuffle both sides share).
+
+    The bigram stream feeds two passes (count training, then scoring);
+    at a real corpus, persist() it — here the plan recomputes it once,
+    the declarative form Catalyst can still pipeline at tiny SF.
+    Context counts c1 roll up from the aggregated c12 table (Σ_w2),
+    never from a third corpus scan."""
     tok = (
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
@@ -104,7 +110,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # context counts derived from the ALREADY-AGGREGATED bigram table
+    # (Σ_w2 c12), not a third scan of the corpus-sized bigram stream —
+    # the rollup is vocab-sized
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = tok.agg(F.countDistinct("w").alias("vocab"))
     scored = (
         big.join(c12, ["w1", "w2"])

@@ -320,3 +320,24 @@ def test_linkage_and_sequence_plans(spark):
         p = plan_str(spark, name)
         assert "partial_" in p, name  # counts partial-agg before the exchange
         assert "BatchEvalPython" not in p, name
+
+
+def test_lm_and_graph_plans(spark):
+    """r05 batch-3 operators keep their scale shapes: the bigram LM's
+    vocab scalar and PMI's doc-count scalar ride one-row broadcasts,
+    every count partial-aggregates before its exchange, the EWMA band
+    self-join and the near-dup token join are hash-keyed (never a
+    cartesian over rows), and everything stays JVM-side."""
+    for name in ["text_bigram_logprob", "text_pmi_pairs"]:
+        p = plan_str(spark, name)
+        assert "partial_" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        # the single-row scalar (vocab size / corpus doc count) must be
+        # the broadcast side, never a shuffled join input
+        assert "BroadcastExchange" in p, name
+    for name in ["events_ewma_smoothed", "graph_neardup_degree"]:
+        p = plan_str(spark, name)
+        assert "partial_" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
