@@ -62,6 +62,13 @@ HEADLINE = [
     "dedup_edit_distance",
     "text_langid_trigram",
     "orders_temporal_state_join",
+    # round-5 batch-3: tokenizer training (iterative argmax + Arrow
+    # rewrite on the vocab table), the bigram-LM quality scorer, label
+    # spread over the near-dup graph, and the banded EWMA smoother
+    "text_bpe_train_merges",
+    "text_bigram_logprob",
+    "graph_label_propagation_simhash",
+    "events_ewma_smoothed",
 ]
 
 

@@ -41,30 +41,63 @@ def neardup_edges(docs: DataFrame) -> DataFrame:
     Jaccard >= 9/10, decided in integer arithmetic:
     ``i * den >= (sa + sb - i) * num``.
 
-    Same SSJoin shape as dedup_jaccard_exact: the token self-join is
-    word-keyed (frequent tokens are the skew hazard; the prefix-filter
-    variant in text3.py is the scale escape), intersection counts
-    partial-aggregate map-side."""
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    Prefix-filtered SSJoin (same technique as dedup_ngram_jaccard,
+    text3.py): token sets are aggregated per document, tokens globally
+    ordered by document frequency, and only each document's
+    ``sz - ceil(t·sz) + 1`` RAREST tokens are indexed — by the prefix
+    theorem two sets with Jaccard >= t must share a prefix token, so
+    recall is exactly 1 while candidate buckets are keyed by rare
+    tokens instead of stopwords. Candidates verify with one
+    array_intersect per pair — O(candidates), never all-pairs, and no
+    stopword-keyed join skew. (The first form of this function joined
+    the raw token streams on every shared word; at sf0.1 the stopword
+    buckets made it the slowest query in the bench, 68 s.)"""
+    sets = (
+        docs.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+        .select("doc_id", "toks", F.size("toks").alias("sz"))
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        tok.alias("a")
+    exploded = sets.select("doc_id", "sz", F.explode("toks").alias("w"))
+    freq = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "w"))
+    # prefix length for threshold t = num/den, in exact integer terms:
+    # sz - ceil(t*sz) + 1 = sz - ceil(sz*num/den) + 1
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * _THR_NUM / F.lit(_THR_DEN)) + 1
+    )
+    prefix = (
+        exploded.join(freq, "w")
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "w")
+    )
+    # explicit repartition before the bucket self-join: the prefix table
+    # is tiny relative to its join OUTPUT (dense dup families make the
+    # candidate set quadratic in family size), and AQE — sizing stages
+    # by their INPUT — would coalesce it to one partition and run the
+    # whole expansion serially (measured 100 s → 2.5 s at sf0.1)
+    prefix = prefix.repartition(32, "w")
+    cand = (
+        prefix.alias("a")
         .join(
-            tok.alias("b"),
+            prefix.alias("b"),
             (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    ga = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("t_a"), F.col("sz").alias("sa")
+    )
+    gb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("t_b"), F.col("sz").alias("sb")
+    )
+    inter = F.size(F.array_intersect("t_a", "t_b"))
     return (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
-        .where(
-            F.col("i") * _THR_DEN
-            >= (F.col("za.sz") + F.col("zb.sz") - F.col("i")) * _THR_NUM
-        )
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .where(inter * _THR_DEN >= (F.col("sa") + F.col("sb") - inter) * _THR_NUM)
         .select("doc_a", "doc_b")
     )
 
@@ -120,6 +153,7 @@ def label_propagation(
     docs: DataFrame,
     rounds: int = _LP_ROUNDS,
     seed_mod: int = _LP_SEED_MOD,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Clamped-seed synchronous label propagation over the near-dup graph.
 
@@ -127,6 +161,10 @@ def label_propagation(
     ``lang`` forever; every other node takes, each round, the majority
     label among its labeled neighbors (ties broken by smaller label
     string — fully deterministic). Unreached nodes stay NULL.
+
+    ``edges`` (doc_a, doc_b) overrides the default exact-Jaccard edge
+    set — the scale path passes SimHash-banded pairs instead (see
+    ``graph_label_propagation_simhash``).
 
     Scale: each round is one edge->label join (doc_id-keyed) plus one
     majority vote (groupBy dst) — the same per-round cost profile as
@@ -142,7 +180,7 @@ def label_propagation(
         seeds.alias("is_seed"),
     ).localCheckpoint(eager=True)
 
-    e = neardup_edges(docs)
+    e = neardup_edges(docs) if edges is None else edges
     # undirected: messages flow both ways
     edges = (
         e.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -191,8 +229,29 @@ def label_propagation(
     f"rounds, doc_id %% {_LP_SEED_MOD} == 0 seeds keep lang) over the "
     "exact-Jaccard near-dup graph: majority vote per round, "
     "smaller-label tiebreak — weak-supervision label spread; iterative, "
-    "so behavior-tested (planted clusters) instead of SQL-oracled",
+    "so behavior-tested (planted clusters) instead of SQL-oracled. "
+    "The exact edge set is the verification baseline; the banded "
+    "sibling below is the scale configuration",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return label_propagation(docs)
+
+
+@register(
+    "graph_label_propagation_simhash",
+    description="label propagation (same clamped-seed majority-vote "
+    "rounds) over SimHash-banded near-dup edges (hamming <= 3 via 4x16 "
+    "chunk pigeonhole buckets) — the scale configuration: on a densely "
+    "duplicated corpus the exact-Jaccard edge enumeration is quadratic "
+    "inside every dup family, while the banded edge set is "
+    "O(candidates) with 2-byte bucket join keys; agreement with the "
+    "exact form on planted clusters is behavior-tested",
+)
+def graph_label_propagation_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_spark.operators.dedup import simhash_signatures
+    from orca_spark.operators.dedup2 import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    edges = simhash_pairs(simhash_signatures(docs)).select("doc_a", "doc_b")
+    return label_propagation(docs, edges=edges)

@@ -52,6 +52,9 @@ def test_oracles_are_subset_with_known_exceptions():
         # iterative majority-vote propagation — gated by planted-cluster
         # behavior tests (tests/test_text9_graph.py)
         "graph_label_propagation",
+        # banded-edge scale sibling: SimHash signatures have no DuckDB
+        # twin; agreement with the exact form is behavior-tested
+        "graph_label_propagation_simhash",
     }, oracleless
 
 

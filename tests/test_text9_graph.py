@@ -182,3 +182,34 @@ def test_ewma_constant_series_is_constant(spark, tmp_path):
     out = events_ewma_smoothed(spark, str(sf))
     vals = [r.ewma for r in out.collect()]
     assert len(vals) == 12 and all(v == 7.5 for v in vals)
+
+
+def test_label_propagation_simhash_scale_path(spark):
+    """The banded (SimHash hamming <= 3) edge variant spreads seed labels
+    through clusters whose members are near-identical — the regime the
+    banding is built for (longer docs, small relative change) — and
+    agrees with the exact-Jaccard form there. Short docs with larger
+    relative edits may fall below the hamming threshold: that is the
+    documented recall trade of the scale path, not a defect."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in the "
+        "tall green trees near the old stone bridge by the quiet river "
+        "bank at dawn as the sun rises slowly over the misty hills"
+    )
+    rows = [
+        (50, base, "aa"),  # seed (50 % 5 == 0)
+        (51, base.replace("quiet", "noisy"), "xx"),
+        (52, base.replace("misty", "foggy"), "xx"),
+        (61, " ".join(f"r{i}" for i in range(40)), "xx"),  # isolated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from orca_spark.operators.dedup import simhash_signatures
+    from orca_spark.operators.dedup2 import simhash_pairs
+
+    edges = simhash_pairs(simhash_signatures(docs)).select("doc_a", "doc_b")
+    banded = {r.doc_id: r.label for r in label_propagation(docs, edges=edges).collect()}
+    assert banded[50] == "aa" and banded[51] == "aa" and banded[52] == "aa"
+    assert banded[61] is None
+    exact = {r.doc_id: r.label for r in label_propagation(docs).collect()}
+    assert banded == exact  # scale path agrees with the baseline here
