@@ -97,6 +97,15 @@ from orca_spark.operators import (  # noqa: F401
     timeseries2,
 )
 
+# r05 batch 4: phrase search, categorical association, weighted
+# similarity, quantile feature scaling.
+from orca_spark.operators import (  # noqa: F401
+    text10,
+    stats2,
+    similarity4,
+    embeddings2,
+)
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -341,3 +341,29 @@ def test_lm_and_graph_plans(spark):
         assert "partial_" in p, name
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p, name
+
+
+def test_batch4_plans(spark):
+    """r05 batch-4 scale shapes: the phrase probe's one-row top bigram
+    is a TakeOrderedAndProject broadcast back over the stream (never a
+    global sort); association cells window over the model-sized
+    contingency table; tfidf blocking and the quantile explode stay
+    hash-partitioned and JVM-side."""
+    p = plan_str(spark, "text_phrase_topbigram_docs")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    for name in [
+        "text_phrase_topbigram_docs",
+        "events_type_hour_association",
+        "similarity_tfidf_cosine_pairs",
+    ]:
+        p = plan_str(spark, name)
+        assert "partial_" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+    # pure explode→window pipeline: no aggregate at all, one Exchange
+    # on the dimension key, sort inside the window only
+    p = plan_str(spark, "embedding_quantile_normalized")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
