@@ -106,6 +106,12 @@ from orca_spark.operators import (  # noqa: F401
     embeddings2,
 )
 
+# r05 batch 5: sequence mining, rolling reach, robust dispersion, RFM.
+from orca_spark.operators import (  # noqa: F401
+    events3,
+    relational8,
+)
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -367,3 +367,22 @@ def test_batch4_plans(spark):
     assert "Window" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_batch5_plans(spark):
+    """r05 batch-5 scale shapes: trigram lags share one user_id sort
+    (a single Window node with both lag frames); rolling-DAU broadcasts
+    the day table over the deduped (day, user) stream; MAD broadcasts
+    the model-sized median tables; all partial-aggregate and stay
+    JVM-side."""
+    p = plan_str(spark, "events_trigram_sequences")
+    assert p.count("Window") >= 1
+    assert "partial_count" in p
+    p = plan_str(spark, "events_rolling_dau_7d")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_" in p
+    for name in ["events_mad_robust", "orders_rfm_scores"]:
+        p = plan_str(spark, name)
+        assert "partial_" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
