@@ -112,6 +112,10 @@ from orca_spark.operators import (  # noqa: F401
     relational8,
 )
 
+# r05 batch 6: the composed corpus pipeline + the streaming MERGE INTO.
+from orca_spark.operators import pipeline  # noqa: F401
+from orca_spark.streaming import jobs6  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}
