@@ -77,6 +77,17 @@ _DOC_QUERIES = [
     "dedup_edit_distance",
     "text_nucleus_vocab",
     "text_langid_trigram",
+    # round-5 batch-3/4/6 documents-driven additions (the oracled ones
+    # also run the value-level compare below)
+    "text_bigram_logprob",
+    "text_pmi_pairs",
+    "text_phrase_topbigram_docs",
+    "text_bpe_train_merges",
+    "graph_neardup_degree",
+    "graph_label_propagation",
+    "graph_label_propagation_simhash",
+    "similarity_tfidf_cosine_pairs",
+    "pipeline_pretrain_corpus",
 ]
 
 
