@@ -32,6 +32,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _evidence_priority() -> dict[str, int]:
+    """Per-query scheduling key from the committed CORRECTNESS evidence:
+    -1 (verify first) for queries never green OR whose latest driver row
+    was a crash/mismatch (a regression must re-enter the prefix), else
+    the round of the most recent green row (oldest re-verified first).
+
+    Parsed once per process — both queries() and oracle_sql() share it.
+    A malformed evidence file (wrong shape, unreadable, bad JSON) is
+    skipped, never fatal: this runs inside the driver's entry import.
+    """
+    if _evidence_priority.cache is not None:
+        return _evidence_priority.cache
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+            with open(path) as f:
+                rows = json.load(f)
+            if not isinstance(rows, dict):
+                continue
+            for name, row in rows.items():
+                if not isinstance(row, dict):
+                    continue
+                last_seen[name] = max(last_seen.get(name, 0), rnd)
+                green = row.get("hash_match") is True or (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
+                if green:
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+        except (ValueError, OSError, TypeError, AttributeError,
+                json.JSONDecodeError):
+            continue
+    prio = {
+        name: (last_green[name]
+               if name in last_green and last_green[name] >= last_seen[name]
+               else -1)
+        for name in last_seen
+    }
+    _evidence_priority.cache = prio
+    return prio
+
+
+_evidence_priority.cache = None
+
+
 def verification_order(names: list[str]) -> list[str]:
     """Rotate the registry so the driver's per-round verification prefix
     always lands on the queries that need it most.
@@ -42,30 +89,18 @@ def verification_order(names: list[str]) -> list[str]:
     module mixed verified and unverified queries), derive the schedule
     from the committed ``CORRECTNESS_r*.json`` evidence:
 
-    1. queries with no green driver row ever, in registry order;
+    1. queries with no green driver row ever — or whose LATEST driver
+       row regressed (crash/mismatch after an earlier green) — in
+       registry order;
     2. then green queries, oldest verification round first (true
        round-robin re-verification), registry order as tiebreak.
 
     A row counts as green only if the value-hash matched or the driver
-    recorded the documented ``no_oracle`` rows-only pass; a crashed or
-    mismatched row leaves the query "unverified" so it re-enters the
-    prefix next round.
+    recorded the documented ``no_oracle`` rows-only pass.
     """
-    last_green: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
-        try:
-            rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
-            rows = json.load(open(path))
-        except (ValueError, OSError, json.JSONDecodeError):
-            continue
-        for name, row in rows.items():
-            green = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
-            if green:
-                last_green[name] = max(last_green.get(name, 0), rnd)
+    prio = _evidence_priority()
     order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_green.get(n, -1), order[n]))
+    return sorted(names, key=lambda n: (prio.get(n, -1), order[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

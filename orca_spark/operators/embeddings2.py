@@ -33,6 +33,10 @@ from orca_spark.tables import load
         SELECT vec_id, CAST(d AS INT) AS d,
                round(percent_rank() OVER (PARTITION BY d ORDER BY v), 6) AS q
         FROM flat
+        -- NULL elements excluded BEFORE ranking: Spark windows order
+        -- NULLS FIRST ascending, DuckDB NULLS LAST — a single NULL
+        -- coordinate would shift q for every value in its dimension
+        WHERE v IS NOT NULL
     """,
     description="exact distributed quantile transform: every embedding "
     "coordinate replaced by its percent rank within its dimension "
@@ -60,6 +64,9 @@ def embedding_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame
         load(spark, sf_dir, "embeddings")
         .where(F.col("embedding").isNotNull())
         .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        # NULL elements out before ranking (NULLS FIRST/LAST divergence
+        # between engines would shift every rank in the dimension)
+        .where(F.col("v").isNotNull())
     )
     return flat.select(
         "vec_id",

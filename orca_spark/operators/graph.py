@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from orca_spark.operators.blocking import prefix_candidates
 from orca_spark.registry import register
 from orca_spark.tables import load
 
@@ -59,34 +60,14 @@ def neardup_edges(docs: DataFrame) -> DataFrame:
         .select("doc_id", "toks", F.size("toks").alias("sz"))
     )
     exploded = sets.select("doc_id", "sz", F.explode("toks").alias("w"))
-    freq = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    rn = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "w"))
     # prefix length for threshold t = num/den, in exact integer terms:
-    # sz - ceil(t*sz) + 1 = sz - ceil(sz*num/den) + 1
+    # sz - ceil(t*sz) + 1 = sz - ceil(sz*num/den) + 1; blocking machinery
+    # (df ranking, AQE-expansion guard, bucket self-join) is shared with
+    # similarity4 via blocking.prefix_candidates
     prefix_len = (
         F.col("sz") - F.ceil(F.col("sz") * _THR_NUM / F.lit(_THR_DEN)) + 1
     )
-    prefix = (
-        exploded.join(freq, "w")
-        .withColumn("rn", rn)
-        .where(F.col("rn") <= prefix_len)
-        .select("doc_id", "w")
-    )
-    # explicit repartition before the bucket self-join: the prefix table
-    # is tiny relative to its join OUTPUT (dense dup families make the
-    # candidate set quadratic in family size), and AQE — sizing stages
-    # by their INPUT — would coalesce it to one partition and run the
-    # whole expansion serially (measured 100 s → 2.5 s at sf0.1)
-    prefix = prefix.repartition(32, "w")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = prefix_candidates(exploded, prefix_len)
     ga = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("t_a"), F.col("sz").alias("sa")
     )

@@ -66,7 +66,7 @@ _QUERY_VEC_ID = 0  # deterministic query: document 0's embedding
         ),
         q AS (
             SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-            WHERE vec_id = {_QUERY_VEC_ID} AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+            WHERE vec_id = {_QUERY_VEC_ID} AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
         ),
         sem AS (
             SELECT e.vec_id AS doc_id,
@@ -75,7 +75,7 @@ _QUERY_VEC_ID = 0  # deterministic query: document 0's embedding
                                                   CAST(e.embedding AS DOUBLE[])))
                             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
             FROM embeddings e CROSS JOIN q
-            WHERE e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x <> 0)) > 0
+            WHERE e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x <> 0)) > 0 AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
         ),
         semr AS (
             SELECT doc_id,
@@ -201,7 +201,7 @@ _TOP_BATCH = 5
         q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
             FROM embeddings
-            WHERE vec_id IN (0, 1, 2) AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+            WHERE vec_id IN (0, 1, 2) AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
         ),
         sem AS (
             SELECT q.query_id, e.vec_id AS doc_id,
@@ -210,7 +210,7 @@ _TOP_BATCH = 5
                                                   CAST(e.embedding AS DOUBLE[])))
                             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
             FROM embeddings e CROSS JOIN q
-            WHERE e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x <> 0)) > 0
+            WHERE e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x <> 0)) > 0 AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
         ),
         semr AS (
             SELECT query_id, doc_id,

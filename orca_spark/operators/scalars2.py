@@ -35,22 +35,36 @@ def deterministic_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_functions_showcase",
     oracle="""
+        WITH nn AS (
+            -- NULL elements dropped up front: the engines' array
+            -- kernels disagree on them (Spark's fold poisons the sum
+            -- to NULL, DuckDB's list_sum skips) — SQL-aggregate
+            -- semantics, stated once
+            SELECT vec_id, embedding,
+                   list_filter(CAST(embedding AS DOUBLE[]),
+                               x -> x IS NOT NULL) AS e
+            FROM embeddings
+        )
         SELECT vec_id,
                CAST(len(embedding) AS INT)                             AS dim,
-               round(list_max(CAST(embedding AS DOUBLE[])), 4)         AS max_val,
-               round(list_min(CAST(embedding AS DOUBLE[])), 4)         AS min_val,
-               CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT)
-                                                                       AS n_positive,
-               round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4)
-                                                                       AS l1_norm
-        FROM embeddings
+               round(list_max(e), 4)                                   AS max_val,
+               round(list_min(e), 4)                                   AS min_val,
+               CAST(len(list_filter(e, x -> x > 0)) AS INT)            AS n_positive,
+               round(list_sum(list_transform(e, x -> abs(x))), 4)      AS l1_norm
+        FROM nn
     """,
     description="array higher-order functions: size, min/max, filter, "
     "transform+aggregate — all codegen'd, no Python",
 )
 def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # NULL elements dropped before every kernel (matches the oracle's
+    # list_filter): Spark's fold would poison l1 to NULL from one NULL
+    # element while DuckDB's list_sum skips it
+    e = F.filter(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        lambda x: x.isNotNull(),
+    )
     l1 = F.aggregate(
         F.transform(e, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: acc + x
     )

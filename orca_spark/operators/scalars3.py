@@ -138,13 +138,17 @@ def events_observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFram
     )
     observed.count()  # the driving action; metrics piggyback on its scan
     row = obs.get
+    # sums over ZERO rows are NULL (None), matching the oracle's NULL —
+    # coerce only non-NULL values (float(None) would crash on an empty
+    # table where the oracle returns a row of NULLs + count 0)
+    tv = row["total_value"]
     return spark.createDataFrame(
         [
             (
                 row["n_rows"],
                 row["n_null_user"],
                 row["n_null_value"],
-                float(row["total_value"]),
+                float(tv) if tv is not None else None,
             )
         ],
         "n_rows long, n_null_user long, n_null_value long, total_value double",

@@ -174,6 +174,11 @@ def load_embeddings(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
         & F.exists("embedding", lambda x: x != 0)
+        # a NULL ELEMENT is the same class of encoder-failure artifact
+        # as a zero-norm vector: every dot against it is NULL, and NULL
+        # scores rank differently across engines (NULLS FIRST/LAST) —
+        # exclude at the scan, same as the other two contract rules
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
     checked = F.expr(
         f"case when embedding is null then embedding"
@@ -213,8 +218,8 @@ def brute_topk_df(emb: DataFrame, queries: DataFrame, k: int = _TOP_K) -> DataFr
     "similarity_brute_topk",
     oracle=f"""
         WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                   FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND vec_id < {_N_QUERIES}),
-        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
+                   FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND vec_id < {_N_QUERIES}),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    round(list_dot_product(q.e, c.e)
@@ -246,7 +251,7 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                            CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
         FROM embeddings
-        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
     """,
     description="per-vector L2 norm (narrow map, no shuffle)",
 )
@@ -259,7 +264,7 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_pairs",
     oracle="""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
+                   FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         scored AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    list_dot_product(a.v, b.v)
@@ -305,7 +310,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle="""
         WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
+                   FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         dims AS (
             SELECT label, i, avg(v[i]) AS c
             FROM e, generate_series(1, 64) AS t(i)
@@ -370,7 +375,7 @@ def annotate_lexical_jaccard(sem: DataFrame, docs: DataFrame) -> DataFrame:
 @register(
     "semantic_vs_lexical_dedup",
     oracle="""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         sem AS (
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    list_dot_product(a.v, b.v)

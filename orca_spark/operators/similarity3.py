@@ -28,11 +28,11 @@ _K_NEG = 3
         WITH a AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings
-            WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND vec_id < {_N_ANCHORS}
+            WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND vec_id < {_N_ANCHORS}
         ),
         c AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+            FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
         ),
         scored AS (
             SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
@@ -98,7 +98,7 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT unnest(list_transform(
                            CAST(embedding AS DOUBLE[]),
                            (x, i) -> {'d': i, 'v': x})) AS u
-                FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0
+                FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
             )
         )
         SELECT CAST(dim AS INT) AS dim,

@@ -17,8 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
+from orca_spark.operators.blocking import prefix_candidates
 from orca_spark.registry import register
 from orca_spark.tables import load
 
@@ -76,8 +76,13 @@ _MIN_COSINE = 0.6
         FROM dot d
         JOIN nrm na ON na.doc_id = d.doc_a
         JOIN nrm nb ON nb.doc_id = d.doc_b
+        -- threshold on the ROUNDED cosine: the dot/norm sums are
+        -- summation-order-sensitive floats, so an unrounded >= would
+        -- let a last-ulp difference flip pair membership between
+        -- engines; rounding first coarsens the boundary to the same
+        -- residual every rounded aggregate carries
         WHERE na.nrm > 0 AND nb.nrm > 0
-          AND d.dp / (na.nrm * nb.nrm) >= {_MIN_COSINE}
+          AND round(d.dp / (na.nrm * nb.nrm), 4) >= {_MIN_COSINE}
     """,
     description=f"tf-idf cosine >= {_MIN_COSINE} document pairs over "
     f"rare-term blocked candidates (each doc indexes its {_PREFIX_K} "
@@ -119,24 +124,9 @@ def similarity_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm"))
-    pfx = (
-        tf.join(df_tbl, "w")
-        .withColumn(
-            "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "w"))
-        )
-        .where(F.col("rn") <= _PREFIX_K)
-        .select("doc_id", "w")
-        .repartition(32, "w")
-    )
-    cand = (
-        pfx.alias("a")
-        .join(
-            pfx.alias("b"),
-            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # blocking machinery (df ranking, AQE-expansion guard, bucket
+    # self-join) shared with graph.neardup_edges
+    cand = prefix_candidates(tf.select("doc_id", "w"), F.lit(_PREFIX_K))
     wa = wt.select(F.col("doc_id").alias("doc_a"), "w", F.col("wgt").alias("wgt_a"))
     wb = wt.select(F.col("doc_id").alias("doc_b"), "w", F.col("wgt").alias("wgt_b"))
     dot = (
@@ -147,10 +137,13 @@ def similarity_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
-    cos = F.col("dp") / (F.col("na") * F.col("nb"))
+    # threshold on the ROUNDED cosine (matches the oracle): the sums
+    # feeding dp/norms are order-sensitive floats and an unrounded >=
+    # would let a last-ulp difference flip pair membership
+    cos = F.round(F.col("dp") / (F.col("na") * F.col("nb")), 4)
     return (
         dot.join(na, "doc_a")
         .join(nb, "doc_b")
         .where((F.col("na") > 0) & (F.col("nb") > 0) & (cos >= _MIN_COSINE))
-        .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
+        .select("doc_a", "doc_b", cos.alias("cosine"))
     )

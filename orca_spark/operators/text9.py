@@ -182,6 +182,11 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+        # GLOBAL distinct, matching the oracle's SELECT DISTINCT: the
+        # per-row array_distinct dedupes within one document row, but a
+        # corpus carrying duplicate doc_id rows would double-count df
+        # and pair co-occurrence without this
+        .distinct()
     )
     df_tbl = (
         dt.groupBy("w")

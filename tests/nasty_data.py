@@ -149,6 +149,10 @@ _NASTY_ROWS: dict[str, list[dict]] = {
         {},
         {"vec_id": 999_970, "embedding": [0.0] * 64, "label": 0},  # zero norm
         {"vec_id": 999_971, "embedding": [1.0e6] * 64, "label": None},
+        # NULL element inside the array: pins the rank-path NULL
+        # exclusion (Spark windows order NULLS FIRST asc, DuckDB NULLS
+        # LAST — an included NULL would shift every rank in dim 0)
+        {"vec_id": 999_972, "embedding": [None] + [0.5] * 63, "label": 1},
     ],
 }
 

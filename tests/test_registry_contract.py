@@ -136,17 +136,26 @@ def test_verification_prefix_self_rotates():
     import glob
     import json
 
-    last_green = {}
+    last_green, last_seen = {}, {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int("".join(c for c in path if c.isdigit()))
         for name, row in json.load(open(path)).items():
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
             green = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
             if green:
                 last_green[name] = max(last_green.get(name, 0), rnd)
+    # a query whose LATEST row regressed (crash/mismatch) re-enters the
+    # front of the schedule alongside the never-green ones
+    prio = {
+        n: (last_green[n]
+            if n in last_green and last_green[n] >= last_seen[n]
+            else -1)
+        for n in last_seen
+    }
 
-    keys = [last_green.get(n, -1) for n in ordered]
+    keys = [prio.get(n, -1) for n in ordered]
     assert keys == sorted(keys), "verification order must be oldest-green first"
 
     adapter_q = list(entry_mod.queries())

@@ -213,3 +213,28 @@ def test_label_propagation_simhash_scale_path(spark):
     assert banded[61] is None
     exact = {r.doc_id: r.label for r in label_propagation(docs).collect()}
     assert banded == exact  # scale path agrees with the baseline here
+
+
+def test_observed_metrics_total_on_empty_events(spark, tmp_path):
+    """Zero-row input: the observation's sums are NULL and the metrics
+    row must carry them as NULLs (float(None) crashed here before),
+    matching the oracle's aggregate-over-nothing row."""
+    import pandas as pd
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[ns]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype="object"),
+        }
+    ).to_parquet(sf / "events.parquet")
+    from orca_spark.operators.scalars3 import events_observed_ingest_metrics
+
+    row = events_observed_ingest_metrics(spark, str(sf)).collect()[0]
+    assert row.n_rows == 0
+    assert row.n_null_user is None and row.total_value is None
