@@ -116,8 +116,9 @@ from orca_spark.operators import (  # noqa: F401
 from orca_spark.operators import pipeline  # noqa: F401
 from orca_spark.streaming import jobs6  # noqa: F401
 
-# r05 batch 7: MapType pipelines + observation-piggybacked metrics.
-from orca_spark.operators import scalars3  # noqa: F401
+# r05 batch 7: MapType pipelines + observation-piggybacked metrics,
+# asymmetric containment dedup.
+from orca_spark.operators import scalars3, containment  # noqa: F401
 
 
 def queries():

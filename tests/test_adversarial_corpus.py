@@ -88,6 +88,7 @@ _DOC_QUERIES = [
     "graph_label_propagation_simhash",
     "similarity_tfidf_cosine_pairs",
     "pipeline_pretrain_corpus",
+    "dedup_containment_pairs",
 ]
 
 

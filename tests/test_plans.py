@@ -381,7 +381,8 @@ def test_batch5_plans(spark):
     p = plan_str(spark, "events_rolling_dau_7d")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "partial_" in p
-    for name in ["events_mad_robust", "orders_rfm_scores"]:
+    for name in ["events_mad_robust", "orders_rfm_scores",
+                 "dedup_containment_pairs"]:
         p = plan_str(spark, name)
         assert "partial_" in p, name
         assert "CartesianProduct" not in p, name
