@@ -387,3 +387,19 @@ def test_batch5_plans(spark):
         assert "partial_" in p, name
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p, name
+
+
+def test_pipeline_and_ivm_plans(spark):
+    """The composed corpus pipeline must fuse its quality gates into the
+    scan (filters, no extra pass) and partial-aggregate both shuffles;
+    the IVM merge must partial-aggregate the state union; the brand
+    affinity must broadcast the part dim."""
+    p = plan_str(spark, "pipeline_pretrain_corpus")
+    assert "partial_" in p
+    assert "BatchEvalPython" not in p
+    p = plan_str(spark, "ivm_incremental_agg")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    p = plan_str(spark, "orders_brand_affinity")
+    assert "BroadcastHashJoin" in p  # part dim build side
+    assert "partial_" in p
