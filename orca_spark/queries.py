@@ -119,6 +119,7 @@ from orca_spark.streaming import jobs6  # noqa: F401
 # r05 batch 7: MapType pipelines + observation-piggybacked metrics,
 # asymmetric containment dedup.
 from orca_spark.operators import scalars3, containment, affinity, ivm  # noqa: F401
+from orca_spark.operators import cohorts2, whitening  # noqa: F401
 
 
 def queries():

@@ -55,6 +55,9 @@ def test_oracles_are_subset_with_known_exceptions():
         # banded-edge scale sibling: SimHash signatures have no DuckDB
         # twin; agreement with the exact form is behavior-tested
         "graph_label_propagation_simhash",
+        # eigendecomposition has no DuckDB twin — gated by the
+        # whitened-covariance-is-identity test (tests/test_text9_graph.py)
+        "embedding_whitening",
     }, oracleless
 
 

@@ -238,3 +238,40 @@ def test_observed_metrics_total_on_empty_events(spark, tmp_path):
     row = events_observed_ingest_metrics(spark, str(sf)).collect()[0]
     assert row.n_rows == 0
     assert row.n_null_user is None and row.total_value is None
+
+
+# ------------------------------------------------------- whitening
+
+
+def test_whitening_identity_covariance(spark):
+    """On an anisotropic planted corpus (one dominant direction), the
+    whitened corpus covariance must be ~identity, the whitened mean
+    ~zero, and the transform deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d = 64
+    base = rng.normal(size=(300, d))
+    base[:, 0] *= 10.0  # dominant direction
+    base[:, 1] *= 0.2   # squashed direction
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    from orca_spark.operators.whitening import whiten
+
+    out = whiten(emb, dim=d)
+    W = np.array(
+        sorted((r.vec_id, list(r.w)) for r in out.collect()),
+        dtype=object,
+    )
+    M = np.array([w for _, w in W], dtype=np.float64)
+    assert np.abs(M.mean(axis=0)).max() < 1e-6  # centered
+    cov = np.cov(M, rowvar=False, bias=True)
+    off = cov - np.eye(d)
+    assert np.abs(off).max() < 0.05  # ~identity (eps-damped)
+
+    out2 = whiten(emb, dim=d)
+    M2 = np.array(
+        [w for _, w in sorted((r.vec_id, list(r.w)) for r in out2.collect())],
+        dtype=np.float64,
+    )
+    assert np.array_equal(M, M2)  # deterministic
