@@ -38,6 +38,75 @@ from orca_spark.tables import load
 _N_MERGES = 6
 
 
+def _bpe_oracle_sql(n_merges: int = _N_MERGES) -> str:
+    """DuckDB twin of the trainer, the 6-step loop unrolled as chained
+    CTEs (VERDICT r05 #8: the merge sequence is fully deterministic —
+    integer pair counts, total (count desc, l, r) tie-break — so it
+    needs a hash-checked oracle, not a rows-only pass).
+
+    Per step: pair counts via lateral ``generate_series`` over symbol
+    positions, argmax via ORDER BY ... LIMIT 1, then the left-to-right
+    NON-OVERLAPPING rewrite. Greedy non-overlap is the only non-trivial
+    part in set-oriented SQL: overlapping candidates exist only in runs
+    where l = r, and there a position merges iff the run of candidate
+    positions immediately before it has even length — computed with a
+    per-word window (max non-candidate position before j), then
+    consumed positions (lag(merged)) are dropped and the word
+    re-assembled with list(... ORDER BY j). Both engines compare
+    strings in code-point order and split '' per code point, so the
+    argmax tie-break and the char vocabulary agree exactly."""
+    steps = []
+    for i in range(n_merges):
+        steps.append(f"""
+p{i} AS (
+  SELECT syms[j] AS l, syms[j + 1] AS r, sum(freq) AS n
+  FROM v{i}, UNNEST(generate_series(1, len(syms) - 1)) AS gp{i}(j)
+  GROUP BY 1, 2
+),
+t{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+u{i} AS (
+  SELECT word, freq, j, syms[j] AS sym, t.l AS ml, t.r AS mr,
+         coalesce(syms[j] = t.l AND syms[j + 1] = t.r, FALSE) AS cand
+  FROM v{i}, t{i} t, UNNEST(generate_series(1, len(syms))) AS gu{i}(j)
+),
+m{i} AS (
+  SELECT *, j - 1 - coalesce(max(CASE WHEN NOT cand THEN j END)
+      OVER (PARTITION BY word ORDER BY j
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS chain_before
+  FROM u{i}
+),
+mm{i} AS (SELECT *, (cand AND chain_before % 2 = 0) AS merged FROM m{i}),
+c{i} AS (
+  SELECT *, coalesce(lag(merged) OVER (PARTITION BY word ORDER BY j),
+                     FALSE) AS consumed
+  FROM mm{i}
+),
+v{i + 1} AS (
+  SELECT word, max(freq) AS freq,
+         list(CASE WHEN merged THEN ml || mr ELSE sym END ORDER BY j) AS syms
+  FROM c{i} WHERE NOT consumed GROUP BY word
+)""")
+    finals = [
+        f'SELECT CAST({i} AS INT) AS "rank", l AS "left", r AS "right",'
+        f" CAST(n AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(n_merges)
+    ]
+    return (
+        """
+WITH w AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT word, string_split(word, '') AS syms, freq FROM w),"""
+        + ",".join(steps)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
 def _merge_word(syms: list, left: str, right: str, joined: str) -> list:
     """Left-to-right non-overlapping merge of (left, right) -> joined."""
     out, i, n = [], 0, len(syms)
@@ -104,12 +173,15 @@ def bpe_train(words: DataFrame, n_merges: int = _N_MERGES) -> list[tuple]:
 
 @register(
     "text_bpe_train_merges",
+    oracle=_bpe_oracle_sql(),
     description=f"distributed BPE tokenizer training ({_N_MERGES} merges): "
     "one corpus pass builds the (word, freq) vocabulary, then each step "
     "counts adjacent symbol pairs JVM-side, collects the single argmax "
     "row, and rewrites symbol arrays with an Arrow-batched left-to-right "
-    "merge; iterative argmax is not SQL-expressible — gated by a "
-    "pure-Python reference replay (tests/test_text9_graph.py)",
+    "merge; the merge sequence is deterministic (integer counts, total "
+    "tie-break), so it is hash-checked against a DuckDB oracle that "
+    "unrolls the loop as chained CTEs, plus a pure-Python reference "
+    "replay (tests/test_text9_graph.py)",
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (

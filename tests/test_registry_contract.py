@@ -46,12 +46,6 @@ def test_oracles_are_subset_with_known_exceptions():
         # count-min sketch estimates have no DuckDB counterpart
         # (tests/test_approx.py: one-sided bound + exact mergeability)
         "events_heavy_hitters_cms",
-        # iterative argmax loop — gated by pure-Python reference replay
-        # (tests/test_text9_graph.py)
-        "text_bpe_train_merges",
-        # iterative majority-vote propagation — gated by planted-cluster
-        # behavior tests (tests/test_text9_graph.py)
-        "graph_label_propagation",
         # banded-edge scale sibling: SimHash signatures have no DuckDB
         # twin; agreement with the exact form is behavior-tested
         "graph_label_propagation_simhash",
