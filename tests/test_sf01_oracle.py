@@ -1,0 +1,66 @@
+"""Value-level oracle agreement at sf0.1 — bench scale — for the
+heaviest oracled queries (VERDICT r05 #3).
+
+The routine gates run at sf0.001 (local suite) and sf0.01 (driver);
+bench times sf0.1 but never value-checks it. That leaves a class of
+bug tiny data cannot catch: partition-count-dependent nondeterminism
+(summation order across 32 real partitions, AQE coalescing changing
+tie-survivors, window-frame evaluation across partition boundaries).
+This module runs the expensive paths value-exact against DuckDB at
+sf0.1 — the cheapest insurance before any 100x scale claim.
+
+Opt-in (minutes, not CI material): ``ORCA_SF01=1 python -m pytest
+tests/test_sf01_oracle.py``. The committed evidence of the last run
+lives in SF01_ORACLE.log at the repo root.
+"""
+
+import os
+
+import pytest
+
+from orca_spark.queries import oracle_sql, queries
+from tests.conftest import compare_query
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ORCA_SF01") != "1",
+    reason="sf0.1 oracle pass is opt-in: ORCA_SF01=1 (minutes of runtime)",
+)
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+# The heaviest oracled queries by bench median, plus the composed
+# pipeline and the freshly-oracled iterative loops. Deliberately
+# excluded: graph_label_propagation / graph_neardup_degree — their
+# DuckDB oracle's word-keyed token self-join is quadratic inside the
+# sf0.1 corpus's dup families (~965k exact-Jaccard edges / 5000 docs;
+# the ORACLE, not the engine, is the bottleneck — the engine runs the
+# banded form at this scale, see bench's graph_label_propagation_simhash).
+HEAVY = [
+    "dedup_edit_distance",
+    "text_langid_trigram",
+    "text_bigram_logprob",
+    "text_pmi_pairs",
+    "dedup_containment_pairs",
+    "dedup_line_level",
+    "dedup_bloom_decontaminate",
+    "text_bpe_train_merges",
+    "similarity_tfidf_cosine_pairs",
+    "events_resample_ffill",
+    "pipeline_pretrain_corpus",
+    "orders_temporal_state_join",
+    "ivm_incremental_agg",
+    "text_vocab_oov",
+]
+
+_Q = queries()
+_O = oracle_sql()
+
+
+def test_heavy_list_is_oracled():
+    missing = [n for n in HEAVY if n not in _O]
+    assert not missing, missing
+
+
+@pytest.mark.parametrize("name", HEAVY)
+def test_heavy_query_value_exact_at_sf01(spark, duck, name):
+    compare_query(spark, duck, _Q[name], _O[name], SF01_DIR)
