@@ -533,6 +533,7 @@ def gram_near_dup_pairs(
     threshold: float = _NEAR_DUP_THRESHOLD,
     nprobe: int = 3,
     cache_key: str | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """Arrow gram-matrix scoring for the SemDeDup cluster buckets.
 
@@ -544,10 +545,19 @@ def gram_near_dup_pairs(
     multiply-adds ~10-100x faster than row-at-a-time expression
     evaluation, and only (id, id, cosine) survivors leave Python.
 
-    Memory contract: one cluster group per Arrow batch — group size g
-    costs g·dim·8 input bytes and a g² float64 gram matrix. At the
-    k ≈ √n sizing g stays ~√n·nprobe; for skewed clusters bound g
-    upstream (salt the cluster id) before this stage.
+    Memory contract: one group per Arrow batch — group size g costs
+    g·dim·8 input bytes and a g² float64 gram matrix. At the k ≈ √n
+    sizing g stays ~√n·nprobe. For SKEWED clusters (one template
+    family swallowing a cluster), ``salt`` > 1 bounds the batch: each
+    member hashes to one of ``salt`` shards, the group key becomes
+    (cluster, shard_i, shard_j), and each block scores only its
+    cross-shard (or within-shard, when i == j) pairs — every unordered
+    pair lands in exactly one block, so the emitted pair set is
+    IDENTICAL to salt=1 (asserted value-level in
+    tests/test_similarity.py) while the largest Arrow batch shrinks
+    from g to ~2g/salt rows. Total multiply-adds are unchanged; the
+    duplication cost is each row appearing in ``salt`` blocks of its
+    cluster — the standard memory-for-boundedness trade.
     """
     import numpy as np
     import pandas as pd
@@ -558,21 +568,47 @@ def gram_near_dup_pairs(
     assigned = ivf_assign(widen(emb), cents, nprobe=nprobe).select(
         "vec_id", "e", "clusters"
     )
-    keyed = assigned.select(
-        "vec_id", "e", "clusters", F.explode("clusters").alias("c")
+    # deterministic shard: xxhash64 of the id, never a RNG
+    shard = F.pmod(F.xxhash64("vec_id"), F.lit(salt)).cast("int")
+    # a shard-p row participates in every unordered shard pair {p, q}:
+    # explode to the (min, max)-normalized block keys, distinct because
+    # {p, p} appears once
+    blocks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(salt - 1)),
+            lambda q: F.struct(
+                F.least(F.col("shard"), q).alias("i"),
+                F.greatest(F.col("shard"), q).alias("j"),
+            ),
+        )
+    )
+    keyed = (
+        assigned.select(
+            "vec_id", "e", "clusters", F.explode("clusters").alias("c")
+        )
+        .withColumn("shard", shard)
+        .withColumn("blk", F.explode(blocks))
+        .select("*", F.col("blk.i").alias("bi"), F.col("blk.j").alias("bj"))
     )
 
     def score(key, pdf):
         # no type hints: applyInPandas infers eval type from hints and
         # warns on the (tuple, DataFrame) grouped-map signature
-        c = int(key[0])
+        c, blk_i, blk_j = int(key[0]), int(key[1]), int(key[2])
         ids = pdf["vec_id"].to_numpy()
         x = np.array(pdf["e"].tolist(), dtype=np.float64)
         clusters = pdf["clusters"].tolist()
+        shards = pdf["shard"].to_numpy()
         nrm = np.linalg.norm(x, axis=1)
         gram = (x @ x.T) / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(len(ids), 1)
         keep = gram[iu, ju] >= threshold
+        # block ownership: this block scores exactly the pairs whose
+        # shard multiset is {blk_i, blk_j}
+        cross = (
+            np.minimum(shards[iu], shards[ju]) == blk_i
+        ) & (np.maximum(shards[iu], shards[ju]) == blk_j)
+        keep &= cross
         out_a, out_b, out_c = [], [], []
         for i, j in zip(iu[keep], ju[keep]):
             # exactly-once emission: only the smallest shared cluster
@@ -587,7 +623,7 @@ def gram_near_dup_pairs(
     # round JVM-side with F.round (HALF_UP), not Python round() (banker's
     # rounding) — boundary cosines must match the expression-scored
     # siblings digit-for-digit, the same hardening pandas_ops applies
-    scored = keyed.groupBy("c").applyInPandas(score, _GRAM_SCHEMA)
+    scored = keyed.groupBy("c", "bi", "bj").applyInPandas(score, _GRAM_SCHEMA)
     return scored.withColumn("cosine", F.round("cosine", 4))
 
 
