@@ -289,6 +289,148 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(docs)
 
 
+_PR_ROUNDS = 5
+_PR_SCALE = 1_000_000  # ranks in integer micro-units: cross-engine exact
+_PR_TELEPORT = 150_000  # 0.15 * scale
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # 0.85 as an exact rational
+
+
+def pagerank_fixed(
+    docs: DataFrame,
+    rounds: int = _PR_ROUNDS,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-round PageRank over the near-dup graph in integer
+    fixed-point arithmetic.
+
+    Ranks live in micro-units (initial = 1,000,000 per node); each
+    round every node sends ``rank DIV degree`` along its edges and
+    receives ``teleport + (85 · Σ inbound) DIV 100``. Keeping the whole
+    recurrence in BIGINT with explicit truncating division makes five
+    float-free rounds bit-identical on any engine and any partitioning
+    — the same determinism trick as the decimal money columns, applied
+    to an iterative graph statistic. (Float PageRank would accumulate
+    engine-specific summation-order ulps round over round — exactly
+    the class of bug the fixed-point form deletes.)
+
+    PageRank over the DUPLICATE graph ranks template/boilerplate hub
+    documents: high-rank nodes are the centers of duplication families
+    and the first candidates for survivor election or removal.
+
+    Isolated documents are omitted (no edges → no rank mass to
+    receive; at 100 TB the node table is never materialized to emit
+    constants). ``edges`` overrides the exact-Jaccard set with e.g.
+    the SimHash-banded pairs, as in ``label_propagation``.
+
+    Scale: per round one doc_id-keyed join (edge → rank) and one
+    map-side-combinable integer sum per destination — connected
+    components' per-round cost profile; ranks are localCheckpoint'ed
+    each round so lineage never stacks.
+    """
+    e = neardup_edges(docs) if edges is None else edges
+    und = (
+        e.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            e.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("doc_id"), "deg", F.lit(_PR_SCALE).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(rounds):
+        inbound = (
+            und.join(
+                ranks.select(
+                    F.col("doc_id").alias("src"), F.expr("r div deg").alias("out")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("out").alias("s"))
+        )
+        ranks = (
+            ranks.select("doc_id", "deg")
+            .join(inbound.withColumnRenamed("dst", "doc_id"), "doc_id")
+            .select(
+                "doc_id",
+                "deg",
+                (
+                    F.lit(_PR_TELEPORT)
+                    + F.expr(f"({_PR_DAMP_NUM} * s) div {_PR_DAMP_DEN}")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("doc_id", F.col("r").alias("pagerank_micro"))
+
+
+def _pr_oracle_sql(rounds: int = _PR_ROUNDS) -> str:
+    """DuckDB twin: the same exact-Jaccard edge CTE as the propagation
+    oracle, then the fixed rounds unrolled; `//` (DuckDB) and `div`
+    (Spark) agree on non-negative integers, so no rounding anywhere."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+s{i} AS (
+  SELECT e.dst AS doc_id, sum(r.r // r.deg) AS s
+  FROM und e JOIN r{i} r ON r.doc_id = e.src
+  GROUP BY 1
+),
+r{i + 1} AS (
+  SELECT r.doc_id, r.deg,
+         {_PR_TELEPORT} + ({_PR_DAMP_NUM} * s.s) // {_PR_DAMP_DEN} AS r
+  FROM r{i} r JOIN s{i} s USING (doc_id)
+)""")
+    return (
+        f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * {_THR_DEN} >= (sa.sz + sb.sz - i) * {_THR_NUM}
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM kept
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM kept
+),
+degs AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+r0 AS (SELECT src AS doc_id, deg, CAST({_PR_SCALE} AS BIGINT) AS r FROM degs),"""
+        + ",".join(steps)
+        + f"\nSELECT doc_id, CAST(r AS BIGINT) AS pagerank_micro FROM r{rounds}"
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pr_oracle_sql(),
+    description=f"fixed-round ({_PR_ROUNDS}) PageRank over the exact-"
+    "Jaccard near-dup graph in BIGINT micro-unit fixed-point (teleport "
+    "150000, damping 85/100, truncating division) — float-free, so the "
+    "iterative statistic is bit-identical across engines and "
+    "partitionings; ranks boilerplate/template hub documents for "
+    "survivor election; hash-checked against a DuckDB oracle with the "
+    "rounds unrolled as chained CTEs",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return pagerank_fixed(docs)
+
+
 @register(
     "graph_label_propagation_simhash",
     description="label propagation (same clamped-seed majority-vote "

@@ -121,6 +121,10 @@ from orca_spark.streaming import jobs6  # noqa: F401
 from orca_spark.operators import scalars3, containment, affinity, ivm  # noqa: F401
 from orca_spark.operators import cohorts2, whitening  # noqa: F401
 
+# r06 batch 1: duplicate-span coverage, per-source percentile quality
+# gate, pair-free corpus diversity, fixed-point PageRank.
+from orca_spark.operators import text11, embeddings3  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}
