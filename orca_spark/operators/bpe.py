@@ -38,11 +38,11 @@ from orca_spark.tables import load
 _N_MERGES = 6
 
 
-def _bpe_oracle_sql(n_merges: int = _N_MERGES) -> str:
-    """DuckDB twin of the trainer, the 6-step loop unrolled as chained
-    CTEs (VERDICT r05 #8: the merge sequence is fully deterministic —
-    integer pair counts, total (count desc, l, r) tie-break — so it
-    needs a hash-checked oracle, not a rows-only pass).
+def _bpe_train_ctes(n_merges: int = _N_MERGES) -> str:
+    """Shared WITH-body for the trainer oracles: vocabulary (w, v0) plus
+    per-step CTEs ending in the argmax rows t0..t{n-1} and the rewritten
+    vocabularies v1..v{n}. ``bpe2._bpe_apply_oracle_sql`` extends this
+    prefix to apply the learned merges back to the corpus.
 
     Per step: pair counts via lateral ``generate_series`` over symbol
     positions, argmax via ORDER BY ... LIMIT 1, then the left-to-right
@@ -87,14 +87,8 @@ v{i + 1} AS (
          list(CASE WHEN merged THEN ml || mr ELSE sym END ORDER BY j) AS syms
   FROM c{i} WHERE NOT consumed GROUP BY word
 )""")
-    finals = [
-        f'SELECT CAST({i} AS INT) AS "rank", l AS "left", r AS "right",'
-        f" CAST(n AS BIGINT) AS pair_count FROM t{i}"
-        for i in range(n_merges)
-    ]
     return (
-        """
-WITH w AS (
+        """w AS (
   SELECT word, count(*) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS word
     FROM documents WHERE text IS NOT NULL
@@ -102,6 +96,21 @@ WITH w AS (
 ),
 v0 AS (SELECT word, string_split(word, '') AS syms, freq FROM w),"""
         + ",".join(steps)
+    )
+
+
+def _bpe_oracle_sql(n_merges: int = _N_MERGES) -> str:
+    """Trainer oracle (VERDICT r05 #8): the deterministic merge sequence
+    — integer pair counts, total (count desc, l, r) tie-break — gets a
+    hash-checked oracle, not a rows-only pass."""
+    finals = [
+        f'SELECT CAST({i} AS INT) AS "rank", l AS "left", r AS "right",'
+        f" CAST(n AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(n_merges)
+    ]
+    return (
+        "WITH "
+        + _bpe_train_ctes(n_merges)
         + "\n"
         + "\nUNION ALL\n".join(finals)
     )

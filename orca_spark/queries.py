@@ -125,6 +125,10 @@ from orca_spark.operators import cohorts2, whitening  # noqa: F401
 # gate, pair-free corpus diversity, fixed-point PageRank.
 from orca_spark.operators import text11, embeddings3  # noqa: F401
 
+# r06 batch 2: BPE train->apply token accounting, water-filling
+# training-mix planner.
+from orca_spark.operators import bpe2, mixture  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}
