@@ -568,47 +568,52 @@ def gram_near_dup_pairs(
     assigned = ivf_assign(widen(emb), cents, nprobe=nprobe).select(
         "vec_id", "e", "clusters"
     )
-    # deterministic shard: xxhash64 of the id, never a RNG
-    shard = F.pmod(F.xxhash64("vec_id"), F.lit(salt)).cast("int")
-    # a shard-p row participates in every unordered shard pair {p, q}:
-    # explode to the (min, max)-normalized block keys, distinct because
-    # {p, p} appears once
-    blocks = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(salt - 1)),
-            lambda q: F.struct(
-                F.least(F.col("shard"), q).alias("i"),
-                F.greatest(F.col("shard"), q).alias("j"),
-            ),
-        )
+    keyed = assigned.select(
+        "vec_id", "e", "clusters", F.explode("clusters").alias("c")
     )
-    keyed = (
-        assigned.select(
-            "vec_id", "e", "clusters", F.explode("clusters").alias("c")
+    if salt > 1:
+        # deterministic shard: xxhash64 of the id, never a RNG; a
+        # shard-p row participates in every unordered shard pair
+        # {p, q} — explode to the (min, max)-normalized block keys,
+        # distinct because {p, p} appears once
+        blocks = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(salt - 1)),
+                lambda q: F.struct(
+                    F.least(F.col("shard"), q).alias("i"),
+                    F.greatest(F.col("shard"), q).alias("j"),
+                ),
+            )
         )
-        .withColumn("shard", shard)
-        .withColumn("blk", F.explode(blocks))
-        .select("*", F.col("blk.i").alias("bi"), F.col("blk.j").alias("bj"))
-    )
+        keyed = (
+            keyed.withColumn(
+                "shard", F.pmod(F.xxhash64("vec_id"), F.lit(salt)).cast("int")
+            )
+            .withColumn("blk", F.explode(blocks))
+            .select(
+                "*", F.col("blk.i").alias("bi"), F.col("blk.j").alias("bj")
+            )
+        )
 
     def score(key, pdf):
         # no type hints: applyInPandas infers eval type from hints and
         # warns on the (tuple, DataFrame) grouped-map signature
-        c, blk_i, blk_j = int(key[0]), int(key[1]), int(key[2])
+        c = int(key[0])
         ids = pdf["vec_id"].to_numpy()
         x = np.array(pdf["e"].tolist(), dtype=np.float64)
         clusters = pdf["clusters"].tolist()
-        shards = pdf["shard"].to_numpy()
         nrm = np.linalg.norm(x, axis=1)
         gram = (x @ x.T) / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(len(ids), 1)
         keep = gram[iu, ju] >= threshold
-        # block ownership: this block scores exactly the pairs whose
-        # shard multiset is {blk_i, blk_j}
-        cross = (
-            np.minimum(shards[iu], shards[ju]) == blk_i
-        ) & (np.maximum(shards[iu], shards[ju]) == blk_j)
-        keep &= cross
+        if len(key) == 3:
+            # block ownership: this block scores exactly the pairs
+            # whose shard multiset is {blk_i, blk_j}
+            blk_i, blk_j = int(key[1]), int(key[2])
+            shards = pdf["shard"].to_numpy()
+            keep &= (np.minimum(shards[iu], shards[ju]) == blk_i) & (
+                np.maximum(shards[iu], shards[ju]) == blk_j
+            )
         out_a, out_b, out_c = [], [], []
         for i, j in zip(iu[keep], ju[keep]):
             # exactly-once emission: only the smallest shared cluster
@@ -623,7 +628,8 @@ def gram_near_dup_pairs(
     # round JVM-side with F.round (HALF_UP), not Python round() (banker's
     # rounding) — boundary cosines must match the expression-scored
     # siblings digit-for-digit, the same hardening pandas_ops applies
-    scored = keyed.groupBy("c", "bi", "bj").applyInPandas(score, _GRAM_SCHEMA)
+    grouping = ["c"] if salt == 1 else ["c", "bi", "bj"]
+    scored = keyed.groupBy(*grouping).applyInPandas(score, _GRAM_SCHEMA)
     return scored.withColumn("cosine", F.round("cosine", 4))
 
 
