@@ -403,3 +403,23 @@ def test_pipeline_and_ivm_plans(spark):
     p = plan_str(spark, "orders_brand_affinity")
     assert "BroadcastHashJoin" in p  # part dim build side
     assert "partial_" in p
+
+
+def test_covariance_agg_plan_is_join_free(spark):
+    """The d x d moment accumulation must come from row-local pair
+    generation (posexplode + slice), ONE aggregation, and NO join —
+    the r06 version self-joined the n·d exploded stream, shuffling
+    data rows instead of d^2 partials."""
+    import contextlib
+    import io
+
+    from orca_spark.operators.similarity import load_embeddings
+    from orca_spark.operators.whitening import covariance_agg
+
+    df = covariance_agg(load_embeddings(spark, SF_DIR))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2 or "partial" in p.lower(), p  # map-side combine

@@ -159,3 +159,51 @@ def test_verification_prefix_self_rotates():
     assert adapter_q == ordered
     adapter_o = list(entry_mod.oracle_sql())
     assert adapter_o == [n for n in ordered if n in oracle_sql()]
+
+
+def test_no_orphan_operator_modules():
+    """Every module that defines an @register'd query must be reachable
+    from `import orca_spark.queries` — otherwise the operator is dead
+    code invisible to the registry, OPERATORS.md, and the driver (the
+    r06 failure mode: paths.py / privacy.py / stats3.py shipped finished
+    but unwired). Runs in a subprocess so direct imports by other tests
+    in this session can't mask an orphan."""
+    import glob
+    import os
+    import subprocess
+    import sys
+
+    import orca_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(orca_spark.__file__))
+    candidates = glob.glob(os.path.join(pkg_dir, "operators", "*.py")) + glob.glob(
+        os.path.join(pkg_dir, "streaming", "jobs*.py")
+    )
+    registering = []
+    for path in sorted(candidates):
+        base = os.path.splitext(os.path.basename(path))[0]
+        if base == "__init__":
+            continue
+        with open(path) as f:
+            if "@register(" not in f.read():
+                continue  # pure-helper modules (e.g. blocking.py) are exempt
+        sub = "operators" if os.sep + "operators" + os.sep in path else "streaming"
+        registering.append(f"orca_spark.{sub}.{base}")
+    assert registering, "glob found no registering modules — test is broken"
+
+    probe = (
+        "import sys; import orca_spark.queries; "
+        "print('\\n'.join(m for m in sys.argv[1:] if m not in sys.modules))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe, *registering],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(pkg_dir),
+        check=True,
+    )
+    orphans = [m for m in out.stdout.splitlines() if m]
+    assert not orphans, (
+        f"modules define @register'd queries but are not imported by "
+        f"orca_spark.queries: {orphans}"
+    )
