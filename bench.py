@@ -149,11 +149,17 @@ def main() -> None:
     # the honest production shape: index/codebook builds are memoized
     # per corpus exactly as a deployment trains once and persists.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # The iterative queries (multi-job loops with driver-side convergence
+    # checks) are the noisiest in the suite — r06's CC spread was 1.31 s
+    # on a 6.4 s median, wider than the 1.5x tripwire can resolve. A few
+    # extra runs buys a trustworthy median exactly where it's needed
+    # without inflating total bench wall-clock across all ~37 queries.
+    extra_runs = {"dedup_connected_components": runs_per_query + 4}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
-        for _ in range(runs_per_query):
+        for _ in range(extra_runs.get(name, runs_per_query)):
             # t0 before plan construction: queries with eager side
             # effects (ORC writes, checkpoints, codebook training) must
             # pay for them inside their measurement, not before it
@@ -183,6 +189,7 @@ def main() -> None:
     detail = {
         "spread": spreads,
         "runs_per_query": runs_per_query,
+        "extra_runs": extra_runs,
         "baseline_file": prev_file,
         "delta_vs_prev": deltas,
         "risers_gt_1p5x": risers,
@@ -212,12 +219,23 @@ def main() -> None:
     line = compact_line(total, timings, sf)
     if len(line) > _LINE_BUDGET:
         # last-resort degrade: coarser rounding, then drop the slowest
-        # query names' entries before ever exceeding the capture window
+        # query entries before ever exceeding the capture window; the
+        # dropped names go to stderr (and were already recorded in full
+        # in BENCH_DETAIL.json above) so the truncation stays visible —
+        # `total` still sums EVERY query, only the per-query breakdown
+        # is truncated.
         timings = {n: round(v, 2) for n, v in timings.items()}
         line = compact_line(total, timings, sf)
+        dropped = []
         while len(line) > _LINE_BUDGET and timings:
-            timings.pop(max(timings, key=lambda n: len(n)))
+            victim = max(timings, key=timings.get)
+            dropped.append(victim)
+            timings.pop(victim)
             line = compact_line(total, timings, sf)
+        if dropped:
+            print(json.dumps({"bench_line_dropped_queries": dropped}),
+                  file=sys.stderr)
+            sys.stderr.flush()
     print(line)
     sys.stdout.flush()
 

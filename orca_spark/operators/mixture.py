@@ -8,7 +8,9 @@ inventory runs out first at its target share (T* = min over langs of
 tokens·100/weight), every language then contributes weight·T*/100 —
 and the operator reports, per language: inventory, target weight,
 planned tokens, sampling rate, and whether it is the binding
-constraint. ``corpus_mix_resample`` (sampling.py) consumes exactly
+constraint. A target language entirely absent from the corpus binds
+the whole plan at T* = 0 (you cannot serve the mixture at all) rather
+than being dropped; its rate is NULL (0 planned / 0 available). ``corpus_mix_resample`` (sampling.py) consumes exactly
 these rates as its multipliers; this operator is the planner that
 produces them.
 
@@ -48,17 +50,18 @@ _WEIGHTS_SQL = " UNION ALL ".join(
             GROUP BY lang
         ),
         caps AS (
-            SELECT w.lang, w.weight_pct, i.tokens,
-                   i.tokens * 100 // w.weight_pct AS cap
-            FROM weights w JOIN inv i USING (lang)
+            SELECT w.lang, w.weight_pct,
+                   COALESCE(i.tokens, 0) AS tokens,
+                   COALESCE(i.tokens, 0) * 100 // w.weight_pct AS cap
+            FROM weights w LEFT JOIN inv i USING (lang)
         ),
         t AS (SELECT min(cap) AS tstar FROM caps)
         SELECT c.lang,
                c.tokens,
                CAST(c.weight_pct AS INT) AS weight_pct,
                CAST(c.weight_pct * t.tstar // 100 AS BIGINT) AS planned_tokens,
-               round((c.weight_pct * t.tstar // 100) * 1.0 / c.tokens, 6)
-                   AS rate,
+               round((c.weight_pct * t.tstar // 100) * 1.0
+                     / nullif(c.tokens, 0), 6) AS rate,
                c.cap = t.tstar AS binding
         FROM caps c, t
     """,
@@ -87,12 +90,16 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.sum("w").alias("tokens"))
     )
-    weights = F.create_map(
-        *[x for lang, w in _WEIGHTS.items() for x in (F.lit(lang), F.lit(w))]
+    # LEFT join FROM the weights so a target language with zero corpus
+    # presence binds the plan at T*=0 instead of silently vanishing (an
+    # inner join would report over-optimistic "feasible" budgets for a
+    # mixture the corpus cannot actually serve); its rate is NULL (0/0).
+    weights_df = spark.createDataFrame(
+        list(_WEIGHTS.items()), "lang string, weight_pct int"
     )
     caps = (
-        inv.withColumn("weight_pct", weights[F.col("lang")].cast("int"))
-        .where(F.col("weight_pct").isNotNull())
+        weights_df.join(F.broadcast(inv), "lang", "left")
+        .withColumn("tokens", F.coalesce("tokens", F.lit(0).cast("long")))
         .withColumn("cap", F.expr("tokens * 100 div weight_pct"))
     )
     tstar = caps.agg(F.min("cap").alias("tstar"))
@@ -102,7 +109,9 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight_pct",
         F.expr("weight_pct * tstar div 100").alias("planned_tokens"),
         F.round(
-            F.expr("weight_pct * tstar div 100") / F.col("tokens"), 6
+            F.expr("weight_pct * tstar div 100")
+            / F.expr("nullif(tokens, 0)"),
+            6,
         ).alias("rate"),
         (F.col("cap") == F.col("tstar")).alias("binding"),
     )

@@ -113,17 +113,22 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked AS (
             SELECT doc_id, source, n_words,
                    percent_rank() OVER (PARTITION BY source ORDER BY n_words)
-                       AS pr
+                       AS pr,
+                   max(n_words) OVER (PARTITION BY source) AS mx
             FROM scored
         )
-        SELECT doc_id, source, n_words, pr FROM ranked WHERE pr >= {_GATE_PCT}
+        SELECT doc_id, source, n_words, pr FROM ranked
+        WHERE pr >= {_GATE_PCT} OR n_words = mx
     """,
     description="per-source adaptive quality gate: keep each source's "
     f"top quintile by token count (percent_rank >= {_GATE_PCT} within "
-    "source) — percentile cutoffs normalize quality filtering across "
-    "heterogeneous domains where one fixed threshold misfires; "
-    "percent_rank is integer-derived ((rank-1)/(n-1)), so the value is "
-    "cross-engine exact with no rounding",
+    "source), and ALWAYS its best document(s) — for a source with few "
+    "docs percent_rank=(rank-1)/(n-1) never reaches the cutoff (a "
+    "single-doc source scores 0), so without the max-escape entire "
+    "small sources would be silently discarded; percentile cutoffs "
+    "normalize quality filtering across heterogeneous domains where "
+    "one fixed threshold misfires; percent_rank is integer-derived "
+    "((rank-1)/(n-1)), so the value is cross-engine exact",
 )
 def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: one source-keyed window over (doc_id, source, n_words) —
@@ -143,6 +148,7 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("source").orderBy("n_words")
     return (
         scored.withColumn("pr", F.percent_rank().over(w))
-        .where(F.col("pr") >= _GATE_PCT)
+        .withColumn("mx", F.max("n_words").over(W.partitionBy("source")))
+        .where((F.col("pr") >= _GATE_PCT) | (F.col("n_words") == F.col("mx")))
         .select("doc_id", "source", "n_words", "pr")
     )

@@ -42,7 +42,14 @@ def tws_available() -> bool:
         return False
 
 
-def streaming_tws_user_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+def make_running_max():
+    """The StatefulProcessor for the registered TWS query, built at
+    module scope so its fold logic is executable WITHOUT the protobuf
+    transport: ``StatefulProcessor`` itself imports clean (only the
+    worker's wire protocol needs ``google.protobuf``), so tests drive
+    ``init``/``handleInputRows`` against a fake handle and prove the
+    per-batch semantics match the batch oracle even in images where the
+    full operator can't run (tests/test_streaming.py)."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class RunningMax(StatefulProcessor):
@@ -68,9 +75,13 @@ def streaming_tws_user_running_max(spark: SparkSession, sf_dir: str) -> DataFram
         def close(self) -> None:
             pass
 
+    return RunningMax()
+
+
+def streaming_tws_user_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).select("user_id", "value")
     updated = ev.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningMax(),
+        statefulProcessor=make_running_max(),
         outputStructType=_OUT,
         outputMode="Update",
         timeMode="None",

@@ -132,3 +132,49 @@ def test_oracle_agreement_over_degenerate_documents(spark, duck, nasty_dir, name
     a NULL-length segment count (line-level dedup), and byte- vs
     code-point levenshtein, all green on the sf corpora."""
     compare_query(spark, duck, queries()[name], oracle_sql()[name], nasty_dir)
+
+
+def test_mixture_plan_absent_language_binds_at_zero(spark, nasty_dir):
+    """A target language with zero corpus presence must BIND the
+    water-filling plan at T*=0 (the mixture is unservable), not vanish
+    from the plan — the inner-join failure mode reported over-optimistic
+    budgets. nasty_dir is en-only, so de/es/fr/zh are all absent."""
+    from orca_spark.queries import queries
+
+    rows = {
+        r.lang: r
+        for r in queries()["corpus_mixture_plan"](spark, nasty_dir).collect()
+    }
+    assert set(rows) == {"en", "de", "es", "fr", "zh"}
+    assert all(r.planned_tokens == 0 for r in rows.values())
+    absent = rows["de"]
+    assert absent.tokens == 0 and absent.binding and absent.rate is None
+    assert not rows["en"].binding  # en has inventory, so its cap > 0
+
+
+def test_quality_gate_keeps_best_doc_of_small_sources(spark, tmp_path):
+    """percent_rank never reaches the cutoff inside a small source (a
+    single-doc source scores 0), so the gate keeps each source's
+    max-token document unconditionally — no source is silently wiped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["only doc here", "a b", "a b c d e f", "one two three"]
+    table = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["solo", "trio", "trio", "trio"], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "documents.parquet"))
+    from orca_spark.queries import queries
+
+    kept = queries()["quality_percentile_gate"](spark, str(tmp_path)).collect()
+    by_source = {}
+    for r in kept:
+        by_source.setdefault(r.source, set()).add(r.doc_id)
+    assert by_source["solo"] == {0}  # the single-doc source survives
+    assert by_source["trio"] == {2}  # only its best (6 tokens)

@@ -150,3 +150,67 @@ def test_tws_gated_or_matching_oracle(spark, duck):
 
     spec = REGISTRY["streaming_tws_user_running_max"]
     compare_query(spark, duck, spec.fn, spec.oracle, SF_DIR)
+
+
+def test_tws_processor_logic_without_transport(spark):
+    """The TWS wire protocol needs google.protobuf, but the processor's
+    fold logic doesn't — drive make_running_max() against a fake state
+    handle, feeding each user's events as two split Arrow-style batches
+    plus a second invocation (state carry-over), and require exact
+    agreement with the batch groupBy oracle. This is the reproducible
+    execution of the registered branch's semantics in images where the
+    operator itself is protobuf-gated."""
+    import pandas as pd
+
+    from orca_spark.streaming.jobs5 import make_running_max
+    from orca_spark.tables import load
+
+    class FakeValueState:
+        def __init__(self):
+            self._v, self._set = None, False
+
+        def exists(self):
+            return self._set
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self._set = v, True
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "value")
+        .where("user_id IS NOT NULL AND value IS NOT NULL")
+    )
+    pdf = ev.toPandas()
+    want = (
+        pdf.groupby("user_id")["value"]
+        .agg(n_events="count", max_value="max")
+        .reset_index()
+    )
+
+    got = {}
+    for uid, grp in pdf.groupby("user_id"):
+        proc = make_running_max()
+        proc.init(FakeHandle())
+        half = len(grp) // 2
+        # first micro-batch: two Arrow batches in one call
+        out1 = list(
+            proc.handleInputRows((uid,), iter([grp.iloc[:half], grp.iloc[half:half]]), None)
+        )
+        # second micro-batch: the rest, folded onto carried state
+        out2 = list(proc.handleInputRows((uid,), iter([grp.iloc[half:]]), None))
+        proc.close()
+        final = pd.concat(out1 + out2).iloc[-1]
+        got[uid] = (int(final.n_events), float(final.max_value))
+
+    for _, row in want.iterrows():
+        assert got[row.user_id] == (int(row.n_events), float(row.max_value)), row
