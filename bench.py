@@ -80,6 +80,12 @@ HEADLINE = [
     # pipeline and the mergeable-partial-state incremental refresh
     "pipeline_pretrain_corpus",
     "ivm_incremental_agg",
+    # round-7 additions: the degree-ordered triangle join (the new
+    # heaviest graph path), the partitioned-window packing accounting,
+    # and the token-keyed KL drift join
+    "graph_triangle_census",
+    "corpus_sequence_pack",
+    "source_unigram_kl",
 ]
 
 # Hard ceiling for the final stdout line; the driver keeps the last

@@ -134,6 +134,18 @@ from orca_spark.operators import bpe2, mixture  # noqa: F401
 # Gini token concentration.
 from orca_spark.operators import paths, privacy, stats3  # noqa: F401
 
+# r07 batch 2: training-input layout (sequence packing + context
+# chunking), integer-exact burst detection, triangle census.
+from orca_spark.operators import packing, events4, graph2  # noqa: F401
+
+# r07 batch 3: count-preserving dedup, source KL drift, embedding
+# outliers, watermark-evictable streaming dedup.
+from orca_spark.operators import dedup4, text12, embeddings4  # noqa: F401
+from orca_spark.streaming import jobs7  # noqa: F401
+
+# r07 batch 4: l-diversity audit, ordered funnel, Zipf fit.
+from orca_spark.operators import privacy2, events5, text13  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -423,3 +423,28 @@ def test_covariance_agg_plan_is_join_free(spark):
     p = buf.getvalue()
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2 or "partial" in p.lower(), p  # map-side combine
+
+
+def test_triangle_census_plan_has_no_cartesian(spark):
+    """The wedge/closure joins must be keyed (hash) joins; the only
+    nested-loop joins allowed are the final single-row scalar combines
+    (nodes x triangles x edges), which broadcast one row each."""
+    p = plan_str(spark, "graph_triangle_census")
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p  # the data-path joins
+    # every nested-loop occurrence is a cross of 1-row aggregates: both
+    # appear above the final Project, never under a per-row operator
+    # (formatted mode prints each node twice: tree + detail section)
+    assert p.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_sequence_pack_window_is_partitioned(spark):
+    """The packing cumsum must be a PARTITIONED window — a global
+    (empty partition spec) running total would serialize the corpus
+    through one task."""
+    p = plan_str(spark, "corpus_sequence_pack")
+    import re
+
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", p):
+        assert m.group(1).strip(), "window with EMPTY partition spec in plan"
+    assert "Window" in p

@@ -50,6 +50,19 @@ HEAVY = [
     "orders_temporal_state_join",
     "ivm_incremental_agg",
     "text_vocab_oov",
+    # r07 additions. graph_triangle_census is deliberately excluded for
+    # the same reason as graph_label_propagation: its DuckDB oracle
+    # re-enumerates the raw clique-dense edge set (the quadratic form
+    # the Spark side contracts away), so the ORACLE is the bottleneck
+    # at sf0.1, not the engine.
+    "corpus_sequence_pack",
+    "corpus_chunk_windows",
+    "source_unigram_kl",
+    "events_burst_hours",
+    "dedup_survivors_weighted",
+    "text_zipf_exponent",
+    "events_funnel_conversion",
+    "privacy_l_diversity_audit",
 ]
 
 _Q = queries()
