@@ -146,6 +146,10 @@ from orca_spark.streaming import jobs7  # noqa: F401
 # r07 batch 4: l-diversity audit, ordered funnel, Zipf fit.
 from orca_spark.operators import privacy2, events5, text13  # noqa: F401
 
+# r07 batch 5: Matryoshka truncation fidelity, cross-source n-gram
+# novelty.
+from orca_spark.operators import embeddings5, text14  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -125,3 +125,44 @@ def test_source_kl_zero_for_identical_distributions(spark, tmp_path):
     # not zero — but they must be EQUAL to each other and below s2
     assert got["s0"].kl_nats == got["s1"].kl_nats
     assert got["s2"].kl_nats > got["s0"].kl_nats > 0
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    rows = [
+        (1, "a b c d", "en", "shared1"),   # grams: "a b c", "b c d"
+        (2, "a b c d", "en", "shared2"),   # same grams -> 0 novelty both
+        (3, "x y z w", "en", "unique"),    # grams nobody else has
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = {r.source: r for r in queries()["source_ngram_novelty"](spark, d).collect()}
+    assert got["shared1"].novelty_ppm == 0 and got["shared2"].novelty_ppm == 0
+    assert got["unique"].novelty_ppm == 1_000_000
+    assert got["unique"].n_grams == 2 and got["unique"].n_novel == 2
+
+
+def test_truncation_fidelity_zero_when_tail_is_zero(spark, tmp_path):
+    """Vectors whose mass lives entirely in the first 16 dims must show
+    zero truncation error at every width."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = []
+    for i in range(40):
+        v = np.zeros(64, dtype=np.float32)
+        v[:16] = rng.normal(size=16).astype(np.float32)
+        vecs.append((i, [float(x) for x in v], 0))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "embeddings.parquet"))
+    got = queries()["embedding_dim_truncation_fidelity"](spark, str(tmp_path)).collect()
+    assert {r.width for r in got} == {16, 32, 48}
+    for r in got:
+        assert r.mean_abs_err == 0.0 and r.flip_ppm == 0, r

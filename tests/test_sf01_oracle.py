@@ -63,6 +63,8 @@ HEAVY = [
     "text_zipf_exponent",
     "events_funnel_conversion",
     "privacy_l_diversity_audit",
+    "embedding_dim_truncation_fidelity",
+    "source_ngram_novelty",
 ]
 
 _Q = queries()
