@@ -147,8 +147,8 @@ from orca_spark.streaming import jobs7  # noqa: F401
 from orca_spark.operators import privacy2, events5, text13  # noqa: F401
 
 # r07 batch 5: Matryoshka truncation fidelity, cross-source n-gram
-# novelty.
-from orca_spark.operators import embeddings5, text14  # noqa: F401
+# novelty, real resize kernel on the multimodal Arrow path.
+from orca_spark.operators import embeddings5, text14, multimodal2  # noqa: F401
 
 
 def queries():
