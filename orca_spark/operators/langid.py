@@ -116,9 +116,7 @@ def langid_trigram_df(docs: DataFrame, n: int = _PROFILE_N) -> DataFrame:
     )
 
 
-@register(
-    "text_langid_trigram",
-    oracle=f"""
+_LANGID_SQL = f"""
         WITH base AS (
             SELECT doc_id, lang, lower(text) AS t
             FROM documents WHERE text IS NOT NULL AND length(text) >= 3
@@ -167,7 +165,12 @@ def langid_trigram_df(docs: DataFrame, n: int = _PROFILE_N) -> DataFrame:
                                       ORDER BY oop ASC, cand_lang) AS rn
             FROM scored
         ) WHERE rn = 1
-    """,
+    """
+
+
+@register(
+    "text_langid_trigram",
+    oracle=_LANGID_SQL,
     description=f"Cavnar-Trenkle n-gram language ID: top-{_PROFILE_N} "
     "char-trigram rank profiles per language (trained from the labeled "
     "corpus), integer out-of-place distance per (doc, language), "

@@ -147,8 +147,10 @@ from orca_spark.streaming import jobs7  # noqa: F401
 from orca_spark.operators import privacy2, events5, text13  # noqa: F401
 
 # r07 batch 5: Matryoshka truncation fidelity, cross-source n-gram
-# novelty, real resize kernel on the multimodal Arrow path.
+# novelty, real resize kernel on the multimodal Arrow path, language-ID
+# confusion matrix.
 from orca_spark.operators import embeddings5, text14, multimodal2  # noqa: F401
+from orca_spark.operators import langid2  # noqa: F401
 
 
 def queries():
