@@ -152,6 +152,10 @@ from orca_spark.operators import privacy2, events5, text13  # noqa: F401
 from orca_spark.operators import embeddings5, text14, multimodal2  # noqa: F401
 from orca_spark.operators import langid2  # noqa: F401
 
+# r07 batch 6: exact rank-based median, gaps-and-islands streaks,
+# hashing-trick featurizer.
+from orca_spark.operators import relational9, text15  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -65,6 +65,11 @@ HEAVY = [
     "privacy_l_diversity_audit",
     "embedding_dim_truncation_fidelity",
     "source_ngram_novelty",
+    "multimodal_ppm_resize",
+    "langid_confusion_matrix",
+    "orders_exact_median_by_rank",
+    "events_active_day_islands",
+    "text_feature_hashing",
 ]
 
 _Q = queries()
