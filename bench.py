@@ -86,6 +86,7 @@ HEADLINE = [
     "graph_triangle_census",
     "corpus_sequence_pack",
     "source_unigram_kl",
+    "pipeline_chunk_dedup_index",
 ]
 
 # Hard ceiling for the final stdout line; the driver keeps the last

@@ -29,7 +29,9 @@ _PATH_LEN = 5
         WITH ranked AS (
             SELECT user_id, event_type,
                    row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rn
+                                      ORDER BY ts,
+                                      coalesce(event_id,
+                                               -9223372036854775807 - 1)) AS rn
             FROM events WHERE ts IS NOT NULL
         ),
         paths AS (
@@ -42,8 +44,8 @@ _PATH_LEN = 5
         FROM paths GROUP BY path
     """,
     description=f"user path mining: each user's first {_PATH_LEN} events "
-    "(ts, event_id order; NULL timestamps excluded on both engines — "
-    "their position is the one thing the engines order differently) "
+    "(ts, event_id order with NULL ids pinned to long-min — engines "
+    "disagree on NULL sort position; NULL timestamps excluded) "
     "joined into a '>'-separated path, then users counted per distinct "
     "path — the exploratory sibling of the hypothesis-driven funnel",
 )
@@ -55,7 +57,12 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter BEFORE aggregation — per-group state is constant, not
     history-sized."""
     ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL event_id sorts FIRST in Spark asc and LAST in DuckDB — at a
+    # tied timestamp that flips the path order, so the tie-break pins
+    # NULL to long-min explicitly on both engines
+    w = W.partitionBy("user_id").orderBy(
+        "ts", F.coalesce("event_id", F.lit(-(2**63)))
+    )
     ranked = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
     ).where(F.col("rn") <= _PATH_LEN)

@@ -153,8 +153,8 @@ from orca_spark.operators import embeddings5, text14, multimodal2  # noqa: F401
 from orca_spark.operators import langid2  # noqa: F401
 
 # r07 batch 6: exact rank-based median, gaps-and-islands streaks,
-# hashing-trick featurizer.
-from orca_spark.operators import relational9, text15  # noqa: F401
+# hashing-trick featurizer, composed chunk-dedup RAG index.
+from orca_spark.operators import relational9, text15, pipeline2  # noqa: F401
 
 
 def queries():

@@ -166,3 +166,22 @@ def test_truncation_fidelity_zero_when_tail_is_zero(spark, tmp_path):
     assert {r.width for r in got} == {16, 32, 48}
     for r in got:
         assert r.mean_abs_err == 0.0 and r.flip_ppm == 0, r
+
+
+def test_chunk_dedup_index_planted(spark, tmp_path):
+    """Two docs sharing identical text chunk identically; every shared
+    chunk survives exactly once with the minimal owner and copy count 2;
+    a unique doc's chunks survive with count 1."""
+    shared = " ".join(f"t{i}" for i in range(70))  # 2 chunks (0, 32)
+    rows = [(1, shared, "en", "s0"), (2, shared, "en", "s0"),
+            (3, "completely different words here", "en", "s0")]
+    d = _write_docs(tmp_path, rows)
+    got = queries()["pipeline_chunk_dedup_index"](spark, d).collect()
+    by_owner = {}
+    for r in got:
+        by_owner.setdefault(r.doc_id, []).append(r)
+    assert set(by_owner) == {1, 3}  # doc 2's chunks deduped away
+    assert sorted(r.chunk_id for r in by_owner[1]) == [0, 1]
+    assert all(r.n_copies == 2 for r in by_owner[1])
+    assert len(by_owner[3]) == 1 and by_owner[3][0].n_copies == 1
+    assert by_owner[3][0].len_tok == 4
