@@ -156,6 +156,9 @@ from orca_spark.operators import langid2  # noqa: F401
 # hashing-trick featurizer, composed chunk-dedup RAG index.
 from orca_spark.operators import relational9, text15, pipeline2  # noqa: F401
 
+# r07 batch 7: custom Python DataSource (Spark 4 API) round-trip.
+from orca_spark.sources import jsonl  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -176,8 +176,10 @@ def test_no_orphan_operator_modules():
     import orca_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(orca_spark.__file__))
-    candidates = glob.glob(os.path.join(pkg_dir, "operators", "*.py")) + glob.glob(
-        os.path.join(pkg_dir, "streaming", "jobs*.py")
+    candidates = (
+        glob.glob(os.path.join(pkg_dir, "operators", "*.py"))
+        + glob.glob(os.path.join(pkg_dir, "streaming", "jobs*.py"))
+        + glob.glob(os.path.join(pkg_dir, "sources", "*.py"))
     )
     registering = []
     for path in sorted(candidates):
@@ -187,7 +189,8 @@ def test_no_orphan_operator_modules():
         with open(path) as f:
             if "@register(" not in f.read():
                 continue  # pure-helper modules (e.g. blocking.py) are exempt
-        sub = "operators" if os.sep + "operators" + os.sep in path else "streaming"
+        parent = os.path.basename(os.path.dirname(path))
+        sub = parent  # operators / streaming / sources
         registering.append(f"orca_spark.{sub}.{base}")
     assert registering, "glob found no registering modules — test is broken"
 
