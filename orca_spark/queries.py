@@ -156,8 +156,10 @@ from orca_spark.operators import langid2  # noqa: F401
 # hashing-trick featurizer, composed chunk-dedup RAG index.
 from orca_spark.operators import relational9, text15, pipeline2  # noqa: F401
 
-# r07 batch 7: custom Python DataSource (Spark 4 API) round-trip.
+# r07 batch 7: custom Python DataSource (Spark 4 API) round-trip,
+# sliding-window streaming aggregation.
 from orca_spark.sources import jsonl  # noqa: F401
+from orca_spark.streaming import jobs8  # noqa: F401
 
 
 def queries():
