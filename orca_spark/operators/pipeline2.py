@@ -147,3 +147,11 @@ def pipeline_chunk_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c.len_tok",
         "s.n_copies",
     )
+
+
+# NOTE on the survivor owner key: doc_id * 1_000_000 + chunk_id is a
+# total order only while chunk_id < 1e6 — i.e. documents under ~32M
+# tokens at stride 32, far above any real document. A corpus that
+# genuinely violates it should switch the survivor selection to
+# min(struct(doc_id, chunk_id)), at the cost of a struct-typed
+# aggregate the SQL oracle must mirror with arg_min.
