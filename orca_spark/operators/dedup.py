@@ -19,6 +19,8 @@ Scale design (the point of this module):
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -519,8 +521,14 @@ def _rep_pairs_adaptive(reps: DataFrame, threshold: float) -> DataFrame:
     )
     if len(tok) <= 64:
         # round-robin bit assignment in df-ascending order spreads common
-        # tokens across chunks, keeping chunk-value entropy high
-        max_diff = int((1.0 - threshold) * len(tok))  # |union| <= vocab
+        # tokens across chunks, keeping chunk-value entropy high.
+        # max_diff = floor((1-t)·vocab) bounds the symmetric-difference
+        # bits of any qualifying pair (|union| <= vocab) — computed in
+        # EXACT rational arithmetic: the float form int((1.0-t)*vocab)
+        # truncates 0.1*10 = 0.999... to 0, collapsing the pigeonhole to
+        # one chunk and silently missing every non-identical pair
+        frac = Fraction(threshold).limit_denominator(1_000_000)
+        max_diff = ((frac.denominator - frac.numerator) * len(tok)) // frac.denominator
         n_chunks = max_diff + 1
         bit_of = {row.h: i for i, row in enumerate(tok)}
         mask_map = F.create_map(
@@ -575,9 +583,13 @@ def _rep_pairs_adaptive(reps: DataFrame, threshold: float) -> DataFrame:
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))).cast("double")
-        uni = F.bit_count(F.col("ma").bitwiseOR(F.col("mb"))).cast("double")
-        return cand.where(inter / uni >= threshold).select("doc_a", "doc_b")
+        inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+        uni = F.bit_count(F.col("ma").bitwiseOR(F.col("mb")))
+        # threshold as an exact rational: integer cross-multiplication,
+        # no float-boundary membership flips (engine house rule)
+        return cand.where(
+            inter * frac.denominator >= uni * frac.numerator
+        ).select("doc_a", "doc_b")
     # open-vocabulary fallback: MinHash+LSH candidates (n=1 shingles ==
     # the token-hash sets), exact array_intersect verification — the
     # generic O(candidates) path
@@ -585,12 +597,15 @@ def _rep_pairs_adaptive(reps: DataFrame, threshold: float) -> DataFrame:
     cand = lsh_candidate_pairs(_signatures_from_shingles(sh))
     la = reps.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     lb = reps.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
-    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
-    jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
     return (
         cand.join(la, "doc_a")
         .join(lb, "doc_b")
-        .where(jac >= threshold)
+        .where(
+            inter * frac.denominator
+            >= (F.size("ts_a") + F.size("ts_b") - inter) * frac.numerator
+        )
         .select("doc_a", "doc_b")
     )
 

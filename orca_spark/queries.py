@@ -161,6 +161,10 @@ from orca_spark.operators import relational9, text15, pipeline2  # noqa: F401
 from orca_spark.sources import jsonl  # noqa: F401
 from orca_spark.streaming import jobs8  # noqa: F401
 
+# r07 batch 8: node-level near-dup graph analytics (local clustering
+# coefficient, fixed-round k-core, common-neighbor link prediction).
+from orca_spark.operators import graph3  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}
