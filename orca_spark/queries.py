@@ -165,6 +165,12 @@ from orca_spark.streaming import jobs8  # noqa: F401
 # coefficient, fixed-round k-core, common-neighbor link prediction).
 from orca_spark.operators import graph3  # noqa: F401
 
+# r07 batch 9: time-series diagnostics (hourly ACF, weekly seasonality
+# index, user lifecycle), corpus-health lexical stats (hapax/TTR,
+# source JSD, per-source dup rate, sentence shapes), and the
+# adjacent-pair cosine histogram over embeddings.
+from orca_spark.operators import embeddings6, events6, text16  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -70,6 +70,19 @@ HEAVY = [
     "orders_exact_median_by_rank",
     "events_active_day_islands",
     "text_feature_hashing",
+    # r07 batch-9 additions. The graph3 trio (clustering coefficient,
+    # k-core, link prediction) is deliberately excluded like the other
+    # graph surfaces: their doc-level DuckDB oracles re-run the
+    # word-keyed token self-join that is quadratic inside sf0.1's dup
+    # families — the ORACLE is the bottleneck, not the engine.
+    "events_acf_hourly",
+    "events_seasonality_index",
+    "events_user_lifecycle",
+    "text_hapax_ttr_by_lang",
+    "source_unigram_jsd",
+    "corpus_dedup_rate_by_source",
+    "text_sentence_stats",
+    "embedding_adjacent_cosine_profile",
 ]
 
 _Q = queries()
