@@ -87,6 +87,13 @@ HEADLINE = [
     "corpus_sequence_pack",
     "source_unigram_kl",
     "pipeline_chunk_dedup_index",
+    # round-7 batch-2 additions: the per-node contraction lift (vs the
+    # census's global totals), the dense-spine lag joins, the pairwise
+    # source-distribution join, and the per-language budget window
+    "graph_clustering_coefficient",
+    "events_acf_hourly",
+    "source_unigram_jsd",
+    "corpus_budget_pack",
 ]
 
 # Hard ceiling for the final stdout line; the driver keeps the last

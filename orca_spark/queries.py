@@ -171,6 +171,15 @@ from orca_spark.operators import graph3  # noqa: F401
 # adjacent-pair cosine histogram over embeddings.
 from orca_spark.operators import embeddings6, events6, text16  # noqa: F401
 
+# r07 batch 10: business-calendar analytics (YoY growth, SLA breach),
+# budget-constrained curation manifest, and the Python-DataSource
+# WRITE path (two-phase-commit JSONL sink, registered in sources.jsonl).
+from orca_spark.operators import packing2, relational10  # noqa: F401
+
+# r07 batch 11: t-closeness (completing the k/l/t governance trio),
+# n-gram entropy rate, shared-prefix boilerplate manifest.
+from orca_spark.operators import privacy3, text17  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

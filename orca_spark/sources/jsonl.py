@@ -69,6 +69,74 @@ def _build_source():
                         rec.get("n_chars"),
                     )
 
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _CommitMsg(WriterCommitMessage):
+        def __init__(self, tmp_path):
+            self.tmp_path = tmp_path
+
+    class _Writer(DataSourceWriter):
+        """Two-phase-commit JSONL writer: each task streams its
+        partition to a ``.tmp`` shard named by its task attempt id
+        (attempt-unique, so speculative/retried tasks never collide),
+        and only the driver-side ``commit`` renames the shards reported
+        by SUCCESSFUL tasks to their final ``part-*.json`` names —
+        a failed or abandoned attempt leaves at most an orphan .tmp
+        that ``abort`` (or the next overwrite) sweeps. This is the
+        standard output-commit protocol scoped to a shared filesystem;
+        on object storage the rename step becomes a manifest write
+        (noted in the module docstring)."""
+
+        def __init__(self, options, overwrite):
+            self._path = options["path"]
+            self._overwrite = overwrite
+
+        def write(self, iterator):
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            os.makedirs(self._path, exist_ok=True)
+            tmp = os.path.join(
+                self._path, f"attempt-{ctx.taskAttemptId()}.tmp"
+            )
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(
+                        json.dumps(
+                            {
+                                "doc_id": row.doc_id,
+                                "lang": row.lang,
+                                "n_chars": row.n_chars,
+                            }
+                        )
+                    )
+                    f.write("\n")
+            return _CommitMsg(tmp)
+
+        def commit(self, messages):
+            import glob
+            import os
+
+            if self._overwrite:
+                for old in glob.glob(os.path.join(self._path, "*.json")):
+                    os.remove(old)
+            for i, m in enumerate(messages):
+                os.replace(
+                    m.tmp_path, os.path.join(self._path, f"part-{i:05d}.json")
+                )
+            for leftover in glob.glob(os.path.join(self._path, "*.tmp")):
+                os.remove(leftover)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+
     class OrcaJsonlDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -79,6 +147,9 @@ def _build_source():
 
         def reader(self, schema):
             return _Reader(self.options)
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options, overwrite)
 
     return OrcaJsonlDataSource
 
@@ -116,5 +187,43 @@ def json_pysource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.format("orca_jsonl").option("path", out).load()
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "json_pysource_write_roundtrip",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT)     AS n_docs,
+               CAST(sum(doc_id) AS BIGINT)  AS id_sum,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    description="custom Python DataSource WRITE path proven end-to-end: "
+    "documents written through the from-scratch two-phase-commit JSONL "
+    "writer (per-task-attempt .tmp shards, driver-side commit renames "
+    "only successful attempts' output), read back through the matching "
+    "custom reader, and aggregated — the oracle aggregates the "
+    "original parquet, so a dropped row, a double-committed retry, or "
+    "a type mangled in serialization all surface as value mismatches",
+)
+def json_pysource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    register_jsonl_source(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "orca_jsonl_sink",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.format("orca_jsonl").mode("overwrite").option("path", out).save()
+    back = spark.read.format("orca_jsonl").option("path", out).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
         F.sum("n_chars").alias("total_chars"),
     )

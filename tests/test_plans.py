@@ -448,3 +448,49 @@ def test_sequence_pack_window_is_partitioned(spark):
     for m in re.finditer(r"partitionBy=\[(.*?)\]", p):
         assert m.group(1).strip(), "window with EMPTY partition spec in plan"
     assert "Window" in p
+
+
+def test_graph_link_prediction_topk_no_cartesian(spark):
+    """The suggestion surface must end in a top-k (never a global sort)
+    and the candidate generation must stay join-keyed (no cartesian)."""
+    p = plan_str(spark, "graph_link_prediction_jaccard")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_budget_pack_prunes_scan_to_needed_columns(spark):
+    """The curation window needs text/lang/doc_id only — n_chars and
+    source must never leave the parquet scan."""
+    p = plan_str(spark, "corpus_budget_pack")
+    read_schema = p.split("ReadSchema")[1][:400]
+    assert "n_chars" not in read_schema
+    assert "source" not in read_schema
+
+
+def test_acf_aggregates_partially_before_exchange(spark):
+    """The hourly count and the per-lag moment sums must map-side
+    combine — at scale the shuffle carries hour/lag rows, not events."""
+    p = plan_str(spark, "events_acf_hourly")
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_jsd_broadcasts_model_sized_sides(spark):
+    """Per-source totals and the pair table are source-count-sized and
+    must broadcast; only the vocab-sized count table may shuffle."""
+    p = plan_str(spark, "source_unigram_jsd")
+    assert "BroadcastHashJoin" in p
+
+
+def test_t_closeness_broadcasts_global_distribution(spark):
+    p = plan_str(spark, "privacy_t_closeness_audit")
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_sla_breach_partial_agg_and_pruned_scan(spark):
+    """The fact-to-dim join must aggregate with map-side partials, and
+    the lineitem scan must not read money columns the query ignores."""
+    p = plan_str(spark, "orders_shipping_sla_breach")
+    assert "partial_count" in p or "partial_sum" in p
+    read_schema = p.split("ReadSchema")[1][:600]
+    assert "l_extendedprice" not in read_schema

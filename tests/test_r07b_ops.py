@@ -140,3 +140,148 @@ def test_adjacent_cosine_profile_bins(spark, tmp_path):
     }
     # pair (1,2): cos 1.0 -> bin 10 (the closed upper edge); (2,3): cos 0 -> bin 0
     assert got == {10: 1, 0: 1}
+
+
+def _write_lineitem(d, rows):
+    """rows: (l_orderkey, l_extendedprice, l_discount, l_shipdate_us)"""
+    n = len(rows)
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array(list(range(1, n + 1)), pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+            "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "lineitem.parquet"))
+    return str(d)
+
+
+def _write_orders(d, rows):
+    """rows: (o_orderkey, o_orderdate_us, o_orderpriority)"""
+    n = len(rows)
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([1] * n, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n, pa.string()),
+            "o_totalprice": pa.array([1.0] * n, pa.float64()),
+            "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "orders.parquet"))
+    return str(d)
+
+
+_Y2020 = 1_577_836_800_000_000  # 2020-01-01
+_Y2021 = 1_609_459_200_000_000  # 2021-01-01
+
+
+def test_yoy_growth_simple_sequence(spark, tmp_path):
+    # 2020 revenue 100, 2021 revenue 150 -> +50%; first year NULL growth
+    d = _write_lineitem(
+        tmp_path,
+        [(1, 100.0, 0.0, _Y2020), (2, 300.0, 0.5, _Y2021)],
+    )
+    got = {r.yr: (r.revenue, r.yoy_growth_pct) for r in queries()["orders_yoy_growth"](spark, d).collect()}
+    assert got[2020] == (100.0, None)
+    assert got[2021] == (150.0, 50.0)
+
+
+def test_sla_breach_counts_late_lines(spark, tmp_path):
+    # order placed 2020-01-01; line 1 ships +10d, line 2 ships +100d
+    d = _write_orders(tmp_path, [(1, _Y2020, "1-URGENT")])
+    _write_lineitem(
+        tmp_path,
+        [
+            (1, 10.0, 0.0, _Y2020 + 10 * _D),
+            (1, 10.0, 0.0, _Y2020 + 100 * _D),
+        ],
+    )
+    r = queries()["orders_shipping_sla_breach"](spark, d).collect()[0]
+    assert (r.o_orderpriority, r.n_lines, r.n_breaches) == ("1-URGENT", 2, 1)
+    assert r.avg_days_to_ship == 55.0 and r.breach_pct == 50.0
+
+
+def test_budget_pack_prefix_rule(spark, tmp_path):
+    # densities: doc1 = 1.0 (10 toks), doc3 = 1.0 (4990 toks),
+    # doc2 = 0.5 (10 toks). Rank order (density desc, id): 1, 3, 2.
+    # cum: 10, 5000, 5010 -> docs 1 and 3 admitted, doc 2 over budget.
+    uniq10 = " ".join(f"u{i}" for i in range(10))
+    uniq4990 = " ".join(f"v{i}" for i in range(4990))
+    half = " ".join(f"w{i % 5}" for i in range(10))
+    d = _write_docs(
+        tmp_path, [(1, uniq10, "en", "s0"), (2, half, "en", "s0"), (3, uniq4990, "en", "s0")]
+    )
+    got = {
+        r.doc_id: (r.rnk, r.cum_tokens)
+        for r in queries()["corpus_budget_pack"](spark, d).collect()
+    }
+    assert got == {1: (1, 10), 3: (2, 5000)}
+
+
+def test_jsonl_writer_is_idempotent_under_overwrite(spark, tmp_path):
+    import glob
+    import os as _os
+    import tempfile
+
+    d = _write_docs(tmp_path, [(1, "a", "en", "s0"), (2, "b", "de", "s1")])
+    q = queries()["json_pysource_write_roundtrip"]
+    first = sorted((r.lang, r.n_docs, r.id_sum) for r in q(spark, d).collect())
+    second = sorted((r.lang, r.n_docs, r.id_sum) for r in q(spark, d).collect())
+    assert first == second == [("de", 1, 2), ("en", 1, 1)]
+    sink = _os.path.join(tempfile.gettempdir(), "orca_jsonl_sink", _os.path.basename(str(tmp_path)))
+    assert not glob.glob(_os.path.join(sink, "*.tmp"))  # commit swept temps
+
+
+def test_t_closeness_flags_skewed_group(spark, tmp_path):
+    # global sensitive dist: a:3, b:1. Group s0 = {a,a,a}: TV = 0.25
+    # (close); group s1 = {b}: TV = 0.75 (flagged).
+    d = _write_docs(
+        tmp_path,
+        [
+            (1, "a x", "en", "s0"),
+            (2, "a y", "en", "s0"),
+            (3, "a z", "en", "s0"),
+            (4, "b q", "en", "s1"),
+        ],
+    )
+    got = {
+        r.source: (r.group_n, r.tv_distance, r.t_close)
+        for r in queries()["privacy_t_closeness_audit"](spark, d).collect()
+    }
+    assert got == {"s0": (3, 0.25, True), "s1": (1, 0.75, False)}
+
+
+def test_entropy_rate_small_alternation(spark, tmp_path):
+    # "a b a b a": H1 = -(0.6 ln 0.6 + 0.4 ln 0.4) = 0.6730,
+    # H2 = ln 2 = 0.6931, conditional rate = 0.0201
+    d = _write_docs(tmp_path, [(1, "a b a b a", "en", "s0")])
+    r = queries()["text_ngram_entropy_rate"](spark, d).collect()[0]
+    assert (r.h1_nats, r.h2_nats, r.cond_entropy_nats) == (0.673, 0.6931, 0.0201)
+
+
+def test_prefix_boilerplate_finds_shared_header(spark, tmp_path):
+    head = "terms of service apply here"
+    d = _write_docs(
+        tmp_path,
+        [
+            (1, head + " body one", "en", "s0"),
+            (2, head + " body two", "en", "s0"),
+            (3, head + " other text", "en", "s1"),
+            (4, "completely different document text here", "en", "s0"),
+        ],
+    )
+    got = [
+        (r.prefix, r.n_docs, r.n_sources)
+        for r in queries()["text_prefix_boilerplate"](spark, d).collect()
+    ]
+    assert got == [(head, 3, 2)]
