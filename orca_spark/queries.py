@@ -180,6 +180,22 @@ from orca_spark.operators import packing2, relational10  # noqa: F401
 # n-gram entropy rate, shared-prefix boilerplate manifest.
 from orca_spark.operators import privacy3, text17  # noqa: F401
 
+# r07 batch 12: structured-data fuzzy dup detection (double-charge
+# pairs) and rule-based bot scoring.
+from orca_spark.operators import events7, relational11  # noqa: F401
+
+# r07 batch 13: linear multi-touch attribution and the Flesch-style
+# readability proxy.
+from orca_spark.operators import events8  # noqa: F401
+
+# r07 batch 14: Spark-4 engine surfaces — VARIANT property bags,
+# DataFrame.lateralJoin, and the pure-SQL (spark.sql) entry.
+from orca_spark.operators import spark4  # noqa: F401
+
+# r07 batch 15: classical seasonal decomposition and the cross-series
+# hourly correlation map.
+from orca_spark.operators import timeseries3  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

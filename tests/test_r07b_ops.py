@@ -285,3 +285,179 @@ def test_prefix_boilerplate_finds_shared_header(spark, tmp_path):
         for r in queries()["text_prefix_boilerplate"](spark, d).collect()
     ]
     assert got == [(head, 3, 2)]
+
+
+def test_duplicate_payment_pairs_within_window(spark, tmp_path):
+    # cust 1: two 100.0 orders 3 days apart (pair), a third 100.0 order
+    # 30 days later (no pair with either), and a 200.0 order same day
+    # (different amount, no pair); cust 2: one order (no pair)
+    d = _write_orders(
+        tmp_path,
+        [
+            (1, _Y2020, "1-URGENT"),
+            (2, _Y2020 + 3 * _D, "1-URGENT"),
+            (3, _Y2020 + 33 * _D, "1-URGENT"),
+            (4, _Y2020, "1-URGENT"),
+            (5, _Y2020, "1-URGENT"),
+        ],
+    )
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    # rewrite with controlled custkey/amount
+    table = _pa.table(
+        {
+            "o_orderkey": _pa.array([1, 2, 3, 4, 5], _pa.int64()),
+            "o_custkey": _pa.array([1, 1, 1, 1, 2], _pa.int64()),
+            "o_orderstatus": _pa.array(["O"] * 5, _pa.string()),
+            "o_totalprice": _pa.array([100.0, 100.0, 100.0, 200.0, 100.0], _pa.float64()),
+            "o_orderdate": _pa.array(
+                [_Y2020, _Y2020 + 3 * _D, _Y2020 + 33 * _D, _Y2020, _Y2020],
+                _pa.timestamp("us"),
+            ),
+            "o_orderpriority": _pa.array(["1-URGENT"] * 5, _pa.string()),
+        }
+    )
+    _pq.write_table(table, os.path.join(str(tmp_path), "orders.parquet"))
+    got = [
+        (r.o_custkey, r.order_a, r.order_b, r.amount, r.days_apart)
+        for r in queries()["orders_duplicate_payment_flags"](spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 1, 2, 100.0, 3)]
+
+
+def test_bot_heuristics_flags_burst_and_monotony(spark, tmp_path):
+    # user 1: 60 'click' events in one hour -> burst + monotony flag;
+    # user 2: 3 distinct types across 3 hours -> clean
+    rows = [(i, _BASE + i * 1_000_000, 1, "click", 1.0) for i in range(60)]
+    rows += [
+        (100, _BASE, 2, "a", 1.0),
+        (101, _BASE + _H, 2, "b", 1.0),
+        (102, _BASE + 2 * _H, 2, "c", 1.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = {r.user_id: r for r in queries()["events_bot_score_heuristics"](spark, d).collect()}
+    assert got[1].is_bot and got[1].max_hourly == 60 and got[1].n_types == 1
+    assert not got[2].is_bot and got[2].active_hours == 3
+    assert got[2].monotony_pct == 0.0
+
+
+def test_multitouch_splits_purchase_value_equally(spark, tmp_path):
+    # user 1: 2 views then a 90.0 purchase inside 24h -> each touch
+    # gets 45; a click 25h before is outside the window; user 2's
+    # purchase has no touches -> contributes nothing
+    rows = [
+        (1, _BASE - 25 * _H, 1, "click", 1.0),   # outside window
+        (2, _BASE - 2 * _H, 1, "view", 1.0),
+        (3, _BASE - 1 * _H, 1, "view", 1.0),
+        (4, _BASE, 1, "purchase", 90.0),
+        (5, _BASE, 2, "purchase", 50.0),          # touchless
+    ]
+    d = _write_events(tmp_path, rows)
+    got = {
+        r.event_type: (r.n_touches, r.attributed_value)
+        for r in queries()["events_multitouch_attribution"](spark, d).collect()
+    }
+    assert got == {"view": (2, 90.0)}
+
+
+def test_readability_formula_on_known_counts(spark, tmp_path):
+    # "go on. be it!" -> 4 words, 2 sentences, 4 vowel groups (o, o-in-on,
+    # e, i): w/s = 2, vg/w = 1 -> 206.835 - 2.03 - 84.6 = 120.205
+    d = _write_docs(tmp_path, [(1, "go on. be it!", "en", "s0")])
+    r = queries()["text_readability_proxy"](spark, d).collect()[0]
+    assert (r.words, r.sentences, r.vowel_groups) == (4, 2, 4)
+    assert r.flesch_proxy == 120.205
+
+
+def test_variant_extract_tolerates_malformed_json(spark, tmp_path):
+    rows = [
+        (1, _BASE, 1, "click", 1.0),
+        (2, _BASE, 1, "click", 1.0),
+        (3, _BASE, 1, "view", 1.0),
+        (4, _BASE, 1, "view", 1.0),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 7}', "{bad", '{"k": 5}', "{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "events.parquet"))
+    got = {
+        r.event_type: (r.n_with_k, r.k_sum, r.k_max)
+        for r in queries()["events_props_variant_extract"](spark, str(tmp_path)).collect()
+    }
+    # malformed and key-less rows drop silently; nothing aborts
+    assert got == {"click": (1, 7, 7), "view": (1, 5, 5)}
+
+
+def test_lateral_topk_keeps_two_best_lines_per_order(spark, tmp_path):
+    _write_orders(tmp_path, [(1, _Y2020, "1-URGENT")])
+    _write_lineitem(
+        tmp_path,
+        [(1, 10.0, 0.0, _Y2020), (1, 30.0, 0.0, _Y2020), (1, 20.0, 0.0, _Y2020)],
+    )
+    got = sorted(
+        (r.o_orderkey, r.l_linenumber, r.l_extendedprice)
+        for r in queries()["orders_lateral_topk_lines"](spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 2, 30.0), (1, 3, 20.0)]
+
+
+def test_seasonal_decomposition_window_completeness(spark, tmp_path):
+    # 14 consecutive months of 100.00 revenue: only months with a full
+    # centered 12-window get a trend (rows 6..8 of 1..14 -> ym index
+    # 6,7,8), and a flat series decomposes to trend=100, ratio=1
+    rows = []
+    oid = 0
+    for m in range(14):
+        y, mo = 2020 + m // 12, m % 12 + 1
+        ts = int(__import__("datetime").datetime(y, mo, 15).timestamp() * 1_000_000)
+        oid += 1
+        rows.append((oid, ts, "1-URGENT"))
+    _write_orders(tmp_path, rows)
+    # overwrite totalprice to a constant 100.0
+    import pyarrow as _pa, pyarrow.parquet as _pq
+
+    t = _pq.read_table(os.path.join(str(tmp_path), "orders.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("o_totalprice"),
+        "o_totalprice",
+        _pa.array([100.0] * 14, _pa.float64()),
+    )
+    _pq.write_table(t, os.path.join(str(tmp_path), "orders.parquet"))
+    out = {r.ym: r for r in queries()["orders_seasonal_decomposition"](spark, str(tmp_path)).collect()}
+    assert len(out) == 14
+    with_trend = sorted(ym for ym, r in out.items() if r.trend is not None)
+    assert with_trend == [202006, 202007, 202008]
+    for ym in with_trend:
+        assert out[ym].trend == 100.0 and out[ym].seasonal_ratio == 1.0
+    assert out[202001].revenue == 100.0 and out[202001].trend is None
+
+
+def test_type_correlation_perfect_and_anti(spark, tmp_path):
+    # 'a' fires on even hours, 'b' fires with it (corr 1), 'c' on odd
+    # hours (anti-correlated with both)
+    rows = []
+    eid = 0
+    for i in range(6):
+        ts = _BASE + i * _H
+        if i % 2 == 0:
+            for t in ("a", "b"):
+                eid += 1
+                rows.append((eid, ts, 1, t, 1.0))
+        else:
+            eid += 1
+            rows.append((eid, ts, 1, "c", 1.0))
+    d = _write_events(tmp_path, rows)
+    got = {
+        (r.type_a, r.type_b): r.corr
+        for r in queries()["events_type_correlation_hourly"](spark, d).collect()
+    }
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0 and got[("b", "c")] == -1.0

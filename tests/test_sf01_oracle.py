@@ -83,6 +83,24 @@ HEAVY = [
     "corpus_dedup_rate_by_source",
     "text_sentence_stats",
     "embedding_adjacent_cosine_profile",
+    # r07 batches 10-15 (all verified <1 s DuckDB-side at sf0.1,
+    # including the LATERAL — DuckDB plans it as a hash join)
+    "orders_yoy_growth",
+    "orders_shipping_sla_breach",
+    "corpus_budget_pack",
+    "json_pysource_write_roundtrip",
+    "privacy_t_closeness_audit",
+    "text_ngram_entropy_rate",
+    "text_prefix_boilerplate",
+    "orders_duplicate_payment_flags",
+    "events_bot_score_heuristics",
+    "events_multitouch_attribution",
+    "text_readability_proxy",
+    "events_props_variant_extract",
+    "orders_lateral_topk_lines",
+    "sql_cte_window_subquery",
+    "orders_seasonal_decomposition",
+    "events_type_correlation_hourly",
 ]
 
 _Q = queries()
