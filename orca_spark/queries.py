@@ -196,6 +196,23 @@ from orca_spark.operators import spark4  # noqa: F401
 # hourly correlation map.
 from orca_spark.operators import timeseries3  # noqa: F401
 
+# r07 batch 16: the partitioned Python STREAMING source (jsonl shards
+# replayed by offset) and the mapInArrow zero-copy digest path.
+from orca_spark.operators import multimodal3  # noqa: F401
+from orca_spark.streaming import jobs9  # noqa: F401
+
+# r07 batch 17: built-in batch session_window, join-strategy hints,
+# and the try_* ANSI-safe arithmetic surface.
+from orca_spark.operators import events9, relational12  # noqa: F401
+
+# r07 batch 18: supplier-concentration HHI and the composed per-source
+# dedup funnel (raw -> exact survivors -> near-dup survivors).
+from orca_spark.operators import analytics2  # noqa: F401
+
+# r07 batch 19: Welch A/B statistic, cross-lingual exact contamination,
+# and the code-vs-prose router.
+from orca_spark.operators import stats4  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -137,6 +137,63 @@ def _build_source():
                 if m is not None and os.path.exists(m.tmp_path):
                     os.remove(m.tmp_path)
 
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class _StreamReader(DataSourceStreamReader):
+        """Streaming form of the same source, on the PARTITIONED
+        stream-reader API (not the driver-side `simple` variant): an
+        offset is the count of shard files consumed (files sorted by
+        name — the producer's append order), ``partitions(start, end)``
+        plans one input partition per newly-arrived file, and ``read``
+        streams that file on an executor. This is the scale-correct
+        shape for file-shard replay: micro-batch parallelism equals new
+        files per trigger, and replaying any committed offset range
+        re-reads exactly the same files (offsets are durable against
+        the sorted listing, so recovery is deterministic)."""
+
+        def __init__(self, options):
+            self._path = options["path"]
+
+        def _files(self):
+            import glob
+            import os
+
+            return sorted(
+                f
+                for f in glob.glob(os.path.join(self._path, "*.json"))
+                if os.path.getsize(f) > 0
+            )
+
+        def initialOffset(self):
+            return {"idx": 0}
+
+        def latestOffset(self):
+            return {"idx": len(self._files())}
+
+        def partitions(self, start, end):
+            files = self._files()
+            return [
+                InputPartition(f) for f in files[start["idx"] : end["idx"]]
+            ]
+
+        def read(self, partition):
+            import json
+
+            with open(partition.value) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    yield (
+                        rec.get("doc_id"),
+                        rec.get("lang"),
+                        rec.get("n_chars"),
+                    )
+
+        def commit(self, end):
+            pass  # offsets are positions in a durable sorted listing
+
     class OrcaJsonlDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -150,6 +207,9 @@ def _build_source():
 
         def writer(self, schema, overwrite):
             return _Writer(self.options, overwrite)
+
+        def streamReader(self, schema):
+            return _StreamReader(self.options)
 
     return OrcaJsonlDataSource
 

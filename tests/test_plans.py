@@ -494,3 +494,11 @@ def test_sla_breach_partial_agg_and_pruned_scan(spark):
     assert "partial_count" in p or "partial_sum" in p
     read_schema = p.split("ReadSchema")[1][:600]
     assert "l_extendedprice" not in read_schema
+
+
+def test_shuffle_hash_hint_changes_physical_strategy(spark):
+    """The hint must actually produce a ShuffledHashJoin (the default
+    for two large sides is sort-merge) — a silently-ignored hint would
+    still pass the oracle."""
+    p = plan_str(spark, "join_hinted_shuffle_hash")
+    assert "ShuffledHashJoin" in p

@@ -461,3 +461,138 @@ def test_type_correlation_perfect_and_anti(spark, tmp_path):
     }
     assert got[("a", "b")] == 1.0
     assert got[("a", "c")] == -1.0 and got[("b", "c")] == -1.0
+
+
+def test_arrow_digest_matches_hashlib(spark, tmp_path):
+    import hashlib
+
+    d = _write_docs(tmp_path, [(1, "hello world", "en", "s0"), (2, "héllo", "de", "s1")])
+    got = {r.doc_id: (r.n_bytes, r.digest) for r in queries()["multimodal_arrow_digest"](spark, d).collect()}
+    assert got[1] == (11, hashlib.md5(b"hello world").hexdigest())
+    # multi-byte UTF-8: length counts BYTES, digest hashes the bytes
+    assert got[2] == (6, hashlib.md5("héllo".encode()).hexdigest())
+
+
+def test_streaming_pysource_replays_all_shards(spark, tmp_path):
+    d = _write_docs(
+        tmp_path,
+        [(1, "a", "en", "s0"), (2, "b", "en", "s0"), (3, "c", "de", "s1")],
+    )
+    got = {
+        r.lang: (r.n_docs, r.id_sum)
+        for r in queries()["streaming_pysource_jsonl_ingest"](spark, d).collect()
+    }
+    assert got == {"en": (2, 3), "de": (1, 3)}
+
+
+def test_session_window_batch_merges_at_exact_gap_boundary(spark, tmp_path):
+    # events at t, t+30min (exactly the gap), t+61min: the first two
+    # MERGE (closed boundary), the third starts a new session
+    rows = [
+        (1, _BASE, 1, "click", 1.0),
+        (2, _BASE + 30 * 60 * 1_000_000, 1, "click", 1.0),
+        (3, _BASE + 61 * 60 * 1_000_000, 1, "click", 1.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = sorted(
+        (r.n_events,)
+        for r in queries()["events_session_window_batch"](spark, d).collect()
+    )
+    assert got == [(1,), (2,)]
+
+
+def test_hhi_extremes(spark, tmp_path):
+    # brand A: one supplier -> HHI 10000; brand B: two equal suppliers
+    # -> HHI 5000
+    import pyarrow as _pa, pyarrow.parquet as _pq
+
+    part = _pa.table(
+        {
+            "p_partkey": _pa.array([1, 2], _pa.int64()),
+            "p_name": _pa.array(["pa", "pb"], _pa.string()),
+            "p_brand": _pa.array(["A", "B"], _pa.string()),
+            "p_type": _pa.array(["t", "t"], _pa.string()),
+            "p_size": _pa.array([1, 1], _pa.int32()),
+            "p_retailprice": _pa.array([1.0, 1.0], _pa.float64()),
+        }
+    )
+    _pq.write_table(part, os.path.join(str(tmp_path), "part.parquet"))
+    li = _pa.table(
+        {
+            "l_orderkey": _pa.array([1, 2, 3], _pa.int64()),
+            "l_partkey": _pa.array([1, 2, 2], _pa.int64()),
+            "l_suppkey": _pa.array([10, 20, 21], _pa.int64()),
+            "l_linenumber": _pa.array([1, 1, 1], _pa.int32()),
+            "l_quantity": _pa.array([1.0] * 3, _pa.float64()),
+            "l_extendedprice": _pa.array([100.0, 50.0, 50.0], _pa.float64()),
+            "l_discount": _pa.array([0.0] * 3, _pa.float64()),
+            "l_tax": _pa.array([0.0] * 3, _pa.float64()),
+            "l_returnflag": _pa.array(["N"] * 3, _pa.string()),
+            "l_linestatus": _pa.array(["O"] * 3, _pa.string()),
+            "l_shipdate": _pa.array([_Y2020] * 3, _pa.timestamp("us")),
+        }
+    )
+    _pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = {r.p_brand: (r.n_suppliers, r.hhi) for r in queries()["brand_supplier_hhi"](spark, str(tmp_path)).collect()}
+    assert got == {"A": (1, 10000.0), "B": (2, 5000.0)}
+
+
+def test_dedup_funnel_counts_stages(spark, tmp_path):
+    # source s0: docs 1,2 identical text (exact dup), doc 3 a 9/10
+    # near-dup of them; source s1: doc 4 unrelated.
+    # exact survivors: 1 (keeps min of {1,2}), 3, 4 -> s0:2, s1:1
+    # near-dup survivors: cluster {1,2,3} keeps 1; 4 alone -> s0:1, s1:1
+    ten = " ".join(f"t{i}" for i in range(1, 11))
+    nine = " ".join(f"t{i}" for i in range(1, 10))
+    d = _write_docs(
+        tmp_path,
+        [(1, ten, "en", "s0"), (2, ten, "en", "s0"), (3, nine, "en", "s0"),
+         (4, "totally different words here", "en", "s1")],
+    )
+    got = {
+        r.source: (r.n_docs, r.n_exact_survivors, r.n_neardup_survivors, r.pct_removed)
+        for r in queries()["pipeline_dedup_funnel"](spark, d).collect()
+    }
+    assert got == {"s0": (3, 2, 1, 66.6667), "s1": (1, 1, 1, 0.0)}
+
+
+def test_welch_t_zero_for_identical_and_signed_for_shifted(spark, tmp_path):
+    # type a: values {1,2,3}; type b: identical {1,2,3} -> t = 0;
+    # type c: {11,12,13} -> t(a,c) strongly negative, dof = 4 (equal n,
+    # equal variance)
+    rows = []
+    eid = 0
+    for t, base in (("a", 1.0), ("b", 1.0), ("c", 11.0)):
+        for i in range(3):
+            eid += 1
+            rows.append((eid, _BASE + eid * 1_000_000, 1, t, base + i))
+    d = _write_events(tmp_path, rows)
+    got = {
+        (r.type_a, r.type_b): (r.welch_t, r.dof)
+        for r in queries()["events_ab_welch_t"](spark, d).collect()
+    }
+    assert got[("a", "b")][0] == 0.0
+    assert got[("a", "c")][0] == -12.2474  # (1.5-11.5... wait) -10/sqrt(2/3)
+    assert got[("a", "c")][1] == 4.0
+
+
+def test_cross_lingual_manifest(spark, tmp_path):
+    d = _write_docs(
+        tmp_path,
+        [(1, "same text", "en", "s0"), (2, "same text", "de", "s0"),
+         (3, "same text", "en", "s1"), (4, "only once", "en", "s0")],
+    )
+    got = [
+        (r.text, r.n_langs, r.langs, r.n_docs)
+        for r in queries()["dedup_cross_lingual_exact"](spark, d).collect()
+    ]
+    assert got == [("same text", 2, "de,en", 3)]
+
+
+def test_code_score_flags_symbol_heavy_text(spark, tmp_path):
+    code = "int f(x){return x*2;}"  # 6 symbols ( ) { * ; } / 21 chars
+    prose = "plain readable sentence here"
+    d = _write_docs(tmp_path, [(1, code, "en", "s0"), (2, prose, "en", "s0")])
+    got = {r.doc_id: (r.n_symbols, r.is_code_like) for r in queries()["text_code_score"](spark, d).collect()}
+    assert got[1] == (6, True)
+    assert got[2][0] == 0 and not got[2][1]

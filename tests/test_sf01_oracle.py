@@ -101,6 +101,19 @@ HEAVY = [
     "sql_cte_window_subquery",
     "orders_seasonal_decomposition",
     "events_type_correlation_hourly",
+    "multimodal_arrow_digest",
+    "streaming_pysource_jsonl_ingest",
+    "events_session_window_batch",
+    "join_hinted_shuffle_hash",
+    "scalar_try_arithmetic",
+    # pipeline_dedup_funnel is excluded like the graph3 trio: its
+    # oracle embeds the O(n²) all-pairs Jaccard join (the obviously-
+    # correct form the engine's contracted generator avoids), which
+    # does not finish at sf0.1 — the ORACLE is the bottleneck.
+    "brand_supplier_hhi",
+    "events_ab_welch_t",
+    "dedup_cross_lingual_exact",
+    "text_code_score",
 ]
 
 _Q = queries()
