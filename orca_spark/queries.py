@@ -213,6 +213,13 @@ from orca_spark.operators import analytics2  # noqa: F401
 # and the code-vs-prose router.
 from orca_spark.operators import stats4  # noqa: F401
 
+# r07 batch 20: growth accounting (new vs returning), hourly gap
+# interpolation, and boilerplate-strip accounting.
+from orca_spark.operators import events10, text18  # noqa: F401
+
+# r07 batch 21: monthly return-rate series and the SRE SLO burn rate.
+from orca_spark.operators import analytics3  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -596,3 +596,91 @@ def test_code_score_flags_symbol_heavy_text(spark, tmp_path):
     got = {r.doc_id: (r.n_symbols, r.is_code_like) for r in queries()["text_code_score"](spark, d).collect()}
     assert got[1] == (6, True)
     assert got[2][0] == 0 and not got[2][1]
+
+
+def test_new_vs_returning_split(spark, tmp_path):
+    # day 1: users 1,2 (both new); day 2: user 1 (returning) + user 3 (new)
+    rows = [
+        (1, _BASE, 1, "click", 1.0),
+        (2, _BASE, 2, "click", 1.0),
+        (3, _BASE + _D, 1, "click", 1.0),
+        (4, _BASE + _D, 3, "click", 1.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = {r.day: (r.n_active, r.n_new, r.n_returning) for r in queries()["events_daily_new_vs_returning"](spark, d).collect()}
+    assert got == {"2023-11-14": (2, 2, 0), "2023-11-15": (2, 1, 1)}
+
+
+def test_gap_interpolation_blends_interior_gap(spark, tmp_path):
+    # observed hours 0 (n=2) and 3 (n=8); hours 1,2 missing -> 4.0, 6.0
+    rows = [
+        (1, _BASE, 1, "click", 1.0),
+        (2, _BASE + 1, 1, "click", 1.0),
+    ] + [(10 + i, _BASE + 3 * _H + i, 1, "click", 1.0) for i in range(8)]
+    d = _write_events(tmp_path, rows)
+    vals = sorted(
+        (r.observed, r.n_filled)
+        for r in queries()["events_hourly_gap_interpolation"](spark, d).collect()
+    )
+    assert vals == [(False, 4.0), (False, 6.0), (True, 2.0), (True, 8.0)]
+
+
+def test_strip_accounting_matches_manifest(spark, tmp_path):
+    head = "terms of service apply here"
+    d = _write_docs(
+        tmp_path,
+        [
+            (1, head + " body one", "en", "s0"),
+            (2, head + " body two two", "en", "s0"),
+            (3, head, "en", "s1"),
+            (4, "unique document text entirely different", "en", "s0"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_after)
+        for r in queries()["text_boilerplate_strip_accounting"](spark, d).collect()
+    }
+    assert got == {1: (7, 2), 2: (8, 3), 3: (5, 0)}
+
+
+def test_slo_burn_detects_error_spike(spark, tmp_path):
+    # 5 quiet hours of 10 clicks + 1 error (10% baseline), then an hour
+    # of 10 clicks + 10 errors (50%): burn for the spike hour is
+    # 0.5 / ((5*1+10)/(5*11+20)) = 0.5/(15/75) = 2.5
+    rows = []
+    eid = 0
+    for hr in range(5):
+        for i in range(10):
+            eid += 1
+            rows.append((eid, _BASE + hr * _H + i, 1, "click", 1.0))
+        eid += 1
+        rows.append((eid, _BASE + hr * _H + 20, 1, "error", 1.0))
+    for i in range(10):
+        eid += 1
+        rows.append((eid, _BASE + 5 * _H + i, 1, "click", 1.0))
+    for i in range(10):
+        eid += 1
+        rows.append((eid, _BASE + 5 * _H + 20 + i, 1, "error", 1.0))
+    d = _write_events(tmp_path, rows)
+    got = {r.h: r for r in queries()["events_slo_burn_rate"](spark, d).collect()}
+    spike = got[max(got)]
+    assert spike.err_pct_1h == 50.0
+    assert spike.burn == 2.5
+
+
+def test_return_rates_by_month(spark, tmp_path):
+    d = _write_lineitem(
+        tmp_path,
+        [(1, 10.0, 0.0, _Y2020), (2, 10.0, 0.0, _Y2020), (3, 10.0, 0.0, _Y2021)],
+    )
+    import pyarrow as _pa, pyarrow.parquet as _pq
+
+    t = _pq.read_table(os.path.join(str(tmp_path), "lineitem.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("l_returnflag"),
+        "l_returnflag",
+        _pa.array(["R", "N", "N"], _pa.string()),
+    )
+    _pq.write_table(t, os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = {r.ym: (r.n_lines, r.n_returned, r.return_pct) for r in queries()["lineitem_return_rates"](spark, str(tmp_path)).collect()}
+    assert got == {202001: (2, 1, 50.0), 202101: (1, 0, 0.0)}

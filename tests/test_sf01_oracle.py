@@ -114,6 +114,11 @@ HEAVY = [
     "events_ab_welch_t",
     "dedup_cross_lingual_exact",
     "text_code_score",
+    "events_daily_new_vs_returning",
+    "events_hourly_gap_interpolation",
+    "text_boilerplate_strip_accounting",
+    "lineitem_return_rates",
+    "events_slo_burn_rate",
 ]
 
 _Q = queries()
