@@ -220,6 +220,10 @@ from orca_spark.operators import events10, text18  # noqa: F401
 # r07 batch 21: monthly return-rate series and the SRE SLO burn rate.
 from orca_spark.operators import analytics3  # noqa: F401
 
+# r07 batch 22: month-over-month priority-mix drift (TV distance) and
+# the exact median inter-order gap per nation.
+from orca_spark.operators import analytics4  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -684,3 +684,48 @@ def test_return_rates_by_month(spark, tmp_path):
     _pq.write_table(t, os.path.join(str(tmp_path), "lineitem.parquet"))
     got = {r.ym: (r.n_lines, r.n_returned, r.return_pct) for r in queries()["lineitem_return_rates"](spark, str(tmp_path)).collect()}
     assert got == {202001: (2, 1, 50.0), 202101: (1, 0, 0.0)}
+
+
+def test_priority_mix_drift_flags_composition_change(spark, tmp_path):
+    # Jan: 2xA 2xB; Feb: 2xA 2xB (drift 0); Mar: 4xA (drift 0.5)
+    rows, oid = [], 0
+    for m_us, mix in (
+        (_Y2020, ["A", "A", "B", "B"]),
+        (_Y2020 + 31 * _D, ["A", "A", "B", "B"]),
+        (_Y2020 + 60 * _D, ["A", "A", "A", "A"]),
+    ):
+        for pr in mix:
+            oid += 1
+            rows.append((oid, m_us, pr))
+    d = _write_orders(tmp_path, rows)
+    got = {r.ym: r.tv_drift for r in queries()["orders_priority_mix_drift"](spark, d).collect()}
+    assert got == {202002: 0.0, 202003: 0.5}
+
+
+def test_order_gap_median_even_and_odd(spark, tmp_path):
+    # one customer, orders at days 0, 10, 14, 44 -> gaps 10, 4, 30:
+    # odd count, median 10
+    import pyarrow as _pa, pyarrow.parquet as _pq
+
+    d = _write_orders(
+        tmp_path,
+        [(1, _Y2020, "P"), (2, _Y2020 + 10 * _D, "P"),
+         (3, _Y2020 + 14 * _D, "P"), (4, _Y2020 + 44 * _D, "P")],
+    )
+    cust = _pa.table(
+        {
+            "c_custkey": _pa.array([1], _pa.int64()),
+            "c_nationkey": _pa.array([7], _pa.int64()),
+        }
+    )
+    _pq.write_table(cust, os.path.join(str(tmp_path), "customer.parquet"))
+    nat = _pa.table(
+        {
+            "n_nationkey": _pa.array([7], _pa.int64()),
+            "n_name": _pa.array(["NATION_7"], _pa.string()),
+            "n_regionkey": _pa.array([0], _pa.int64()),
+        }
+    )
+    _pq.write_table(nat, os.path.join(str(tmp_path), "nation.parquet"))
+    r = queries()["customer_order_gap_median"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_name, r.n_gaps, r.median_gap_days) == ("NATION_7", 3, 10.0)

@@ -119,6 +119,8 @@ HEAVY = [
     "text_boilerplate_strip_accounting",
     "lineitem_return_rates",
     "events_slo_burn_rate",
+    "orders_priority_mix_drift",
+    "customer_order_gap_median",
 ]
 
 _Q = queries()
