@@ -81,13 +81,23 @@ def test_readme_counts_match_registry():
 
 def test_query_schemas_have_unique_sortable_columns(spark):
     """Duplicate column names would make the driver's sort-by-name compare
-    ambiguous; check the plan schema without executing."""
+    ambiguous, and NON-SCALAR columns (array/struct/map) crash its pandas
+    canonicalizer outright — the round-6 embedding_whitening red row was
+    exactly this class (`TypeError: unhashable type: 'list'`). Check the
+    plan schema without executing."""
     for name, spec in REGISTRY.items():
         if name.startswith(("orc_", "csv_", "json_", "streaming_", "bucketed_")):
             continue  # side-effecting queries execute on build; covered by oracle tests
         df = spec.fn(spark, "/root/testdata/sf0.001")
         cols = df.columns
         assert len(cols) == len(set(cols)), f"{name} has duplicate columns: {cols}"
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            assert not any(k in t for k in ("array<", "struct<", "map<")), (
+                f"{name}.{f.name} is non-scalar ({t}): explode it to "
+                "(id, i, value) rows — the driver canonicalizer cannot "
+                "sort list-valued columns"
+            )
 
 
 @settings(max_examples=100, deadline=None)
