@@ -94,6 +94,11 @@ HEADLINE = [
     "events_acf_hourly",
     "source_unigram_jsd",
     "corpus_budget_pack",
+    # round-8 addition (r07 verdict item 8): the composed RAG corpus
+    # build — chunk -> dedup -> embed-join -> per-language budget pack
+    # as one plan; composition cost tracked end-to-end like
+    # pipeline_pretrain_corpus
+    "pipeline_rag_corpus",
 ]
 
 # Hard ceiling for the final stdout line; the driver keeps the last
@@ -168,7 +173,14 @@ def main() -> None:
     # on a 6.4 s median, wider than the 1.5x tripwire can resolve. A few
     # extra runs buys a trustworthy median exactly where it's needed
     # without inflating total bench wall-clock across all ~37 queries.
-    extra_runs = {"dedup_connected_components": runs_per_query + 4}
+    # r07 verdict item 6: PQ top-k (codebook-training first run) and
+    # MinHash (band-join shuffle) joined CC as the widest-spread entries
+    # (2.84 s / 2.41 s vs ~2.5-2.9 s medians) — same treatment.
+    extra_runs = {
+        "dedup_connected_components": runs_per_query + 4,
+        "similarity_pq_topk": runs_per_query + 4,
+        "dedup_minhash": runs_per_query + 4,
+    }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:

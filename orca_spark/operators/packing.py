@@ -64,7 +64,7 @@ _N_TOKENS_SQL = (
         ),
         blocks AS (
             SELECT lang, source,
-                   COALESCE(cum_before, 0) // {_BLOCK} AS block_id,
+                   CAST(COALESCE(cum_before, 0) // {_BLOCK} AS BIGINT) AS block_id,
                    n_tokens
             FROM placed
         )

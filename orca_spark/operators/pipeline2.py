@@ -84,6 +84,12 @@ from orca_spark.tables import load
 )
 def pipeline_chunk_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return chunk_dedup_index(docs)
+
+
+def chunk_dedup_index(docs: DataFrame) -> DataFrame:
+    """The chunk→dedup stages as a reusable plan fragment (pipeline3's
+    RAG composition chains it into embed-join → budget pack)."""
     sized = (
         docs.select(
             "doc_id",

@@ -224,6 +224,20 @@ from orca_spark.operators import analytics3  # noqa: F401
 # the exact median inter-order gap per nation.
 from orca_spark.operators import analytics4  # noqa: F401
 
+# r08 batch 1: the full composed RAG corpus build (chunk -> dedup ->
+# embed-join -> per-language budget pack), r07 verdict item 8.
+from orca_spark.operators import pipeline3  # noqa: F401
+
+# r08 batch 2: the rest of the transformWithStateInPandas state family
+# (ListState last-K buffer, MapState sub-keyed counts) — unlocked by
+# the vendored protobuf runtime (orca_spark/vendor.py).
+from orca_spark.streaming import jobs10  # noqa: F401
+
+# r08 batch 3: CUSUM change-point localization, the published Gopher
+# quality-rule scorecard + zlib compression-ratio signal, and the
+# per-dimension embedding distribution monitor.
+from orca_spark.operators import embeddings7, events11, text19  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

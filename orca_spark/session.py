@@ -18,6 +18,12 @@ import os
 
 from pyspark.sql import SparkSession
 
+from orca_spark.vendor import ensure_protobuf
+
+# before any JVM launch so local-mode workers inherit the PYTHONPATH;
+# no-op when a real google.protobuf install exists (see vendor.py)
+ensure_protobuf()
+
 
 def get_spark(app_name: str = "orca_spark", cpus: int | None = None) -> SparkSession:
     """Create (or reuse) a SparkSession with scale-aware defaults."""
@@ -66,6 +72,9 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # route the vendored protobuf to this session's Python workers (the
+    # driver's JVM predates our environ mutation; see vendor.py)
+    ensure_protobuf(spark)
     try:
         # production state store for the streaming jobs (see get_spark);
         # runtime-settable — read per streaming query start

@@ -33,13 +33,11 @@ _OUT = "user_id bigint, n_events bigint, max_value double"
 
 
 def tws_available() -> bool:
-    """True iff the TWS Python worker's protobuf dependency imports."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """True iff the TWS Python worker's protobuf dependency imports
+    (vendored fallback included — see orca_spark/vendor.py)."""
+    from orca_spark.vendor import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 def make_running_max():

@@ -62,6 +62,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_kind(series: pd.Series) -> str:
+    """Canonical dtype family for the driver-hash mirror: all integer
+    widths are one family, floats another — the driver's value hash
+    canonicalizes 5 (int32) and 5 (int64) identically but 5 and 5.0
+    differently, so int-vs-float drift is a real driver failure."""
+    k = series.dtype.kind
+    return "i" if k in ("i", "u") else k
+
+
 def compare_query(spark, duck_con, fn, oracle: str, sf_dir: str) -> None:
     register_views(duck_con, sf_dir)
     got = normalize(fn(spark, sf_dir).toPandas())
@@ -71,3 +80,18 @@ def compare_query(spark, duck_con, fn, oracle: str, sf_dir: str) -> None:
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # Values equal is not enough: the driver hashes VALUES, and pandas
+    # renders 5 (int64) and 5.0 (float64) differently, so an oracle whose
+    # DuckDB dtype drifts to float (HUGEINT window sums, `//` on widened
+    # ints, DECIMAL division) passes a check_dtype=False compare locally
+    # yet fails the driver hash (the corpus_sequence_pack r07 red row).
+    # Catch the class here: the dtype FAMILY must match per column.
+    if len(got):
+        for c in got.columns:
+            gk, wk = _dtype_kind(got[c]), _dtype_kind(want[c])
+            assert gk == wk, (
+                f"dtype-family drift on '{c}': spark={got[c].dtype} "
+                f"oracle={want[c].dtype} — values match but the driver's "
+                f"value hash would differ (e.g. 5 vs 5.0); CAST the oracle "
+                f"column to the Spark side's type"
+            )

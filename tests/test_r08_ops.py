@@ -1,0 +1,263 @@
+"""Behavioral pins for the round-8 operators on planted inputs with
+hand-computable answers (the oracle suite covers cross-engine
+agreement; these pin the SEMANTICS)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from orca_spark.queries import queries
+
+
+def _write_docs(d, rows):
+    """rows: (doc_id, text, lang, source)"""
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def _write_embeddings(d, rows):
+    """rows: (vec_id, embedding, label)"""
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def test_rag_corpus_dedups_chunks_and_ranks_by_coverage(spark, tmp_path):
+    # docs 1 and 2 are identical 10-token texts -> ONE surviving chunk
+    # (owner = doc 1, n_copies 2); doc 3 is distinct (n_copies 1); doc 4
+    # has NULL lang -> excluded by the embed-join stage. Coverage rank
+    # puts the 2-copy chunk first; cumulative tokens 10 then 20, both
+    # far under the 4096 budget.
+    shared = " ".join(f"w{i}" for i in range(10))
+    distinct = " ".join(f"x{i}" for i in range(10))
+    _write_docs(
+        tmp_path,
+        [
+            (1, shared, "en", "s"),
+            (2, shared, "en", "s"),
+            (3, distinct, "en", "s"),
+            (4, " ".join(f"y{i}" for i in range(10)), None, "s"),
+        ],
+    )
+    _write_embeddings(
+        tmp_path,
+        [(1, [1.0, 0.0], 7), (2, [0.0, 1.0], 8), (3, [1.0, 1.0], 9),
+         (4, [0.5, 0.5], 4)],
+    )
+    rows = sorted(
+        queries()["pipeline_rag_corpus"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [(r.doc_id, r.chunk_id, r.n_copies, r.owner_label, r.rnk,
+             r.cum_tokens) for r in rows] == [
+        (1, 0, 2, 7, 1, 10),
+        (3, 0, 1, 9, 2, 20),
+    ]
+    assert all(r.lang == "en" for r in rows)
+    assert rows[0].len_tok == 10 and rows[0].start_tok == 0
+
+
+def test_rag_corpus_budget_is_a_hard_cut(spark, tmp_path):
+    # 70 identical-lang docs of 64 tokens each, all distinct: 64 chunks
+    # fill the 4096-token budget exactly; docs 65+ are straddlers/out.
+    docs = [
+        (i, " ".join(f"d{i}t{j}" for j in range(64)), "en", "s")
+        for i in range(1, 71)
+    ]
+    _write_docs(tmp_path, docs)
+    _write_embeddings(tmp_path, [(i, [1.0, 0.0], i) for i in range(1, 71)])
+    rows = queries()["pipeline_rag_corpus"](spark, str(tmp_path)).collect()
+    assert len(rows) == 64  # 4096 // 64, hard cut
+    assert max(r.cum_tokens for r in rows) == 4096
+    # all copies unique -> rank falls back to doc_id order
+    assert sorted(r.doc_id for r in rows) == list(range(1, 65))
+
+
+class _FakeListState:
+    def __init__(self):
+        self._rows, self._set = [], False
+
+    def exists(self):
+        return self._set
+
+    def get(self):
+        return iter(self._rows)
+
+    def put(self, rows):
+        self._rows, self._set = list(rows), True
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def iterator(self):
+        return iter(self._m.items())
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getListState(self, name, schema):
+        return self.states.setdefault(name, _FakeListState())
+
+    def getMapState(self, name, kschema, vschema):
+        return self.states.setdefault(name, _FakeMapState())
+
+
+def test_tws_last_k_fold_trims_across_micro_batches():
+    """The ListState buffer must stay at K rows no matter how arrivals
+    split across micro-batches — including a later batch displacing an
+    earlier batch's survivors (availableNow's single batch never
+    exercises the carry-over path; this does)."""
+    import pandas as pd
+
+    from orca_spark.streaming.jobs10 import make_last_k_processor
+
+    proc = make_last_k_processor()
+    proc.init(_FakeHandle())
+    b1 = pd.DataFrame({"event_id": [5, 1, 3], "value": [1.00, 2.00, 3.00]})
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))[0]
+    assert out1.loc[0, "n_kept"] == 3 and out1.loc[0, "max_event_id"] == 5
+    assert out1.loc[0, "cents_kept"] == 600
+    # batch 2: ids 10 and 4 displace 1 and 3; survivor set {10, 5, 4}
+    b2 = pd.DataFrame({"event_id": [10, 4], "value": [0.50, 0.25]})
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))[0]
+    assert out2.loc[0, "max_event_id"] == 10
+    assert out2.loc[0, "n_kept"] == 3
+    assert out2.loc[0, "cents_kept"] == 50 + 100 + 25  # ids 10, 5, 4
+
+
+def test_tws_type_counts_fold_accumulates_across_micro_batches():
+    import pandas as pd
+
+    from orca_spark.streaming.jobs10 import make_type_count_processor
+
+    proc = make_type_count_processor()
+    proc.init(_FakeHandle())
+    b1 = pd.DataFrame({"event_type": ["click", "click", "view"]})
+    list(proc.handleInputRows((1,), iter([b1]), None))
+    b2 = pd.DataFrame({"event_type": ["click", "purchase"]})
+    out = list(proc.handleInputRows((1,), iter([b2]), None))[0]
+    got = dict(zip(out["event_type"], out["n_events"]))
+    assert got == {"click": 3, "view": 1, "purchase": 1}
+    assert set(out["user_id"]) == {1}
+
+
+def test_cusum_changepoint_finds_planted_level_shift(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _H = 3_600_000_000
+    _BASE = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    # 1 event/hour for hours 0-5, 3/hour for hours 6-11: mean is 2, the
+    # scaled CUSUM bottoms exactly at the last low-regime hour (idx 6,
+    # h-offset 5): S*n = 12*6 - 6*24 = -72, strictly below both
+    # neighbors (-60)
+    for h in range(12):
+        for _ in range(1 if h < 6 else 3):
+            rows.append((eid, _BASE + h * _H, 1, "shift", 1.0))
+            eid += 1
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "events.parquet"))
+    got = queries()["events_cusum_changepoint"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.cp_idx, r.s_scaled, r.n_hours, r.total_events) == (6, -72, 12, 24)
+    assert r.cp_hour == (_BASE // 1_000_000 // 3600) + 5
+
+
+def test_gopher_rules_flag_planted_documents(spark, tmp_path):
+    good = "the quick brown fox jumps over that lazy dog and friends " * 6
+    bullets = "\n".join("- item" for _ in range(10))
+    short = "the end"
+    _write_docs(
+        tmp_path, [(1, good.strip(), "en", "s"), (2, bullets, "en", "s"),
+                   (3, short, "en", "s")]
+    )
+    got = {r.doc_id: r for r in
+           queries()["text_gopher_quality_rules"](spark, str(tmp_path)).collect()}
+    assert got[1].keep is True
+    assert got[1].n_words == 66 and got[1].n_stopword_hits >= 2
+    assert got[2].keep is False and got[2].bullet_ppm == 1_000_000
+    assert got[3].keep is False and got[3].n_words == 2
+
+
+def test_compression_ratio_orders_repetition_below_noise(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    rep = "abcdef " * 500
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(3500))
+    _write_docs(tmp_path, [(1, rep, "en", "s"), (2, noise, "en", "s")])
+    got = {r.doc_id: r for r in
+           queries()["text_compression_ratio"](spark, str(tmp_path)).collect()}
+    assert got[1].ratio_ppm < got[2].ratio_ppm
+    assert got[1].ratio_ppm < 100_000  # repetition crushes
+    assert got[2].ratio_ppm > 500_000  # noise barely compresses
+    assert got[1].raw_bytes == len(rep.encode())
+    # kernel determinism: the registered map is a pure function
+    import pandas as pd
+
+    from orca_spark.operators.text19 import _compress_batches
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [rep, noise]})
+    a = next(_compress_batches(iter([pdf])))
+    b = next(_compress_batches(iter([pdf])))
+    assert a.equals(b)
+
+
+def test_dimension_profile_planted_moments(spark, tmp_path):
+    _write_docs(tmp_path, [(1, "x", "en", "s")])
+    _write_embeddings(
+        tmp_path, [(1, [1.0, -2.0], 0), (2, [3.0, 0.0], 1)]
+    )
+    got = {r.dim: r for r in
+           queries()["embedding_dimension_profile"](spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1}
+    d0, d1 = got[0], got[1]
+    assert (d0.n, d0.n_neg, d0.n_zero) == (2, 0, 0)
+    assert (d0.min_v, d0.max_v, d0.mean_v, d0.var_v) == (1.0, 3.0, 2.0, 1.0)
+    assert (d1.n, d1.n_neg, d1.n_zero) == (2, 1, 1)
+    assert (d1.mean_v, d1.var_v) == (-1.0, 1.0)

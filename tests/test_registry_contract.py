@@ -52,6 +52,9 @@ def test_oracles_are_subset_with_known_exceptions():
         # eigendecomposition has no DuckDB twin — gated by the
         # whitened-covariance-is-identity test (tests/test_text9_graph.py)
         "embedding_whitening",
+        # zlib is deterministic but not expressible in SQL — planted
+        # repetition/noise + determinism tests (tests/test_r08_ops.py)
+        "text_compression_ratio",
     }, oracleless
 
 
@@ -219,4 +222,75 @@ def test_no_orphan_operator_modules():
     assert not orphans, (
         f"modules define @register'd queries but are not imported by "
         f"orca_spark.queries: {orphans}"
+    )
+
+
+def test_driver_verification_cadence_budget():
+    """The driver verifies a fixed 50-query prefix per round, so with N
+    registered queries the full re-verification cadence is ceil(N/50)
+    rounds. Two budgets keep that cadence honest instead of silently
+    decaying as the registry grows (r07 verdict item 7):
+
+    1. prefix composition: the rotation must front every never-green /
+       regressed query (they fit in one prefix — i.e. a round's new
+       registrations are CAPPED so the backlog clears in one round);
+    2. staleness: once a query has been driver-green, it must be
+       re-verified within cadence+1 rounds (+1 absorbs the round the
+       backlog displaces re-checks).
+    """
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prefix_size = 50
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    latest = 0
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        latest = max(latest, rnd)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    if not last_seen:
+        return  # round 1: no evidence yet
+
+    import __spark_entry__ as entry_mod
+
+    names = entry_mod.verification_order(list(queries()))
+    needs_first = [
+        n
+        for n in names
+        if not (n in last_green and last_green[n] >= last_seen.get(n, 0))
+    ]
+    assert len(needs_first) <= prefix_size, (
+        f"{len(needs_first)} never-green/regressed queries exceed the "
+        f"{prefix_size}-slot driver prefix — too many new registrations "
+        f"this round; they cannot all get driver evidence next round"
+    )
+    # the rotation (verification_order via queries()) must place ALL of
+    # them before any green query
+    positions = {n: i for i, n in enumerate(names)}
+    if needs_first:
+        worst_needy = max(positions[n] for n in needs_first)
+        assert worst_needy < len(needs_first), (
+            "rotation violated: a never-green query sits behind a green one"
+        )
+
+    cadence = -(-len(names) // prefix_size)  # ceil
+    budget = cadence + 1
+    over = {
+        n: latest - r for n, r in last_green.items() if latest - r > budget
+    }
+    assert not over, (
+        f"stale driver evidence (> {budget} rounds old) for: {over} — "
+        f"the re-verification rotation is not keeping up"
     )

@@ -11,6 +11,18 @@ from orca_spark.tables import load
 from tests.conftest import SF_DIR
 
 
+def test_usage_count_matches_registry():
+    """USAGE.md's 'N at this writing' was stale by 24 in round 7 —
+    gen_inventory.py now rewrites it; this pins the drift."""
+    from orca_spark.queries import queries
+    from orca_spark.registry import REGISTRY
+
+    queries()  # populate
+    with open("USAGE.md") as f:
+        usage = f.read()
+    assert f"{len(REGISTRY)} at this writing" in usage, len(REGISTRY)
+
+
 def test_usage_centerpiece_runs(spark):
     docs = load(spark, SF_DIR, "documents").where("text IS NOT NULL")
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))

@@ -52,6 +52,14 @@ def main() -> None:
     readme = re.sub(r"\d+-query surface", f"{n_q}-query surface", readme)
     with open("README.md", "w") as f:
         f.write(readme)
+
+    with open("USAGE.md") as f:
+        usage = f.read()
+    usage = re.sub(
+        r"\d+ at this writing", f"{len(REGISTRY)} at this writing", usage
+    )
+    with open("USAGE.md", "w") as f:
+        f.write(usage)
     print(f"OPERATORS.md: {len(rows)} rows; README counts: {n_q}/{n_o}")
 
 
