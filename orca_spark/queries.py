@@ -238,6 +238,11 @@ from orca_spark.streaming import jobs10  # noqa: F401
 # per-dimension embedding distribution monitor.
 from orca_spark.operators import embeddings7, events11, text19  # noqa: F401
 
+# r08 batch 4: WITH RECURSIVE (Spark 4 recursive CTE), interval x
+# interval overlap join, the running-COUNT(DISTINCT) rewrite, and
+# integer-exact sqrt temperature mixing weights.
+from orca_spark.operators import mixture2, recursive, relational13  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -261,3 +261,116 @@ def test_dimension_profile_planted_moments(spark, tmp_path):
     assert (d0.min_v, d0.max_v, d0.mean_v, d0.var_v) == (1.0, 3.0, 2.0, 1.0)
     assert (d1.n, d1.n_neg, d1.n_zero) == (2, 1, 1)
     assert (d1.mean_v, d1.var_v) == (-1.0, 1.0)
+
+
+def _write_orders_customers(d, orders, customers):
+    """orders: (o_orderkey, o_custkey, ts_us); customers: (c_custkey, c_nationkey)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+            "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(orders), pa.string()),
+            "o_totalprice": pa.array([100.0] * len(orders), pa.float64()),
+            "o_orderdate": pa.array([o[2] for o in orders], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(orders), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "orders.parquet"))
+    c = pa.table(
+        {
+            "c_custkey": pa.array([x[0] for x in customers], pa.int64()),
+            "c_name": pa.array(["c"] * len(customers), pa.string()),
+            "c_nationkey": pa.array([x[1] for x in customers], pa.int32()),
+            "c_acctbal": pa.array([0.0] * len(customers), pa.float64()),
+            "c_mktsegment": pa.array(["BUILDING"] * len(customers), pa.string()),
+        }
+    )
+    pq.write_table(c, os.path.join(str(d), "customer.parquet"))
+    return str(d)
+
+
+_DAY_US = 86_400_000_000
+_EPOCH_2024 = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def test_interval_overlap_counts_concurrent_orders(spark, tmp_path):
+    # cust 1: orders on day 0, day 10 (30d windows overlap), day 100
+    # (disjoint) -> 3 orders, exactly 1 overlapping pair; cust 2 has a
+    # single order -> no pair row at all
+    _write_orders_customers(
+        tmp_path,
+        [
+            (1, 1, _EPOCH_2024),
+            (2, 1, _EPOCH_2024 + 10 * _DAY_US),
+            (3, 1, _EPOCH_2024 + 100 * _DAY_US),
+            (4, 2, _EPOCH_2024),
+        ],
+        [(1, 0), (2, 0)],
+    )
+    rows = queries()["orders_interval_overlap_pairs"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert (rows[0].o_custkey, rows[0].n_orders, rows[0].n_overlap_pairs) == (1, 3, 1)
+
+
+def test_running_distinct_first_seen_rewrite(spark, tmp_path):
+    # nation 0: cust 1 orders in Jan and Feb, cust 2 first orders in Feb
+    _write_orders_customers(
+        tmp_path,
+        [
+            (1, 1, _EPOCH_2024),
+            (2, 1, _EPOCH_2024 + 40 * _DAY_US),
+            (3, 2, _EPOCH_2024 + 41 * _DAY_US),
+        ],
+        [(1, 0), (2, 0)],
+    )
+    rows = {r.month: r for r in
+            queries()["orders_running_distinct_customers"](spark, str(tmp_path)).collect()}
+    jan, feb = rows["2024-01"], rows["2024-02"]
+    assert (jan.active_customers, jan.new_customers, jan.cumulative_distinct) == (1, 1, 1)
+    assert (feb.active_customers, feb.new_customers, feb.cumulative_distinct) == (2, 1, 2)
+
+
+def test_sqrt_mix_weights_integer_exact(spark, tmp_path):
+    # en: s1 has 16 tokens (root 4), s2 has 4 (root 2) -> 666666/333333
+    _write_docs(
+        tmp_path,
+        [
+            (1, " ".join(["w"] * 16), "en", "s1"),
+            (2, " ".join(["w"] * 4), "en", "s2"),
+        ],
+    )
+    rows = {r.source: r for r in
+            queries()["corpus_sqrt_mix_weights"](spark, str(tmp_path)).collect()}
+    assert (rows["s1"].root, rows["s2"].root) == (4, 2)
+    assert (rows["s1"].weight_ppm, rows["s2"].weight_ppm) == (666666, 333333)
+
+
+def test_recursive_paths_bounded_expansion(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _H = 3_600_000_000
+    # one user: view -> click -> purchase; edges {view>click,
+    # click>purchase}; depth<=3 paths: the 2 edges + view>click>purchase
+    rows = [
+        (1, _EPOCH_2024 + 0 * _H, 1, "view", 1.0),
+        (2, _EPOCH_2024 + 1 * _H, 1, "click", 1.0),
+        (3, _EPOCH_2024 + 2 * _H, 1, "purchase", 1.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = {r.path: r.depth for r in
+           queries()["sql_recursive_type_paths"](spark, str(tmp_path)).collect()}
+    assert got == {"view>click": 1, "click>purchase": 1, "view>click>purchase": 2}
