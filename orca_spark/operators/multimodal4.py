@@ -1,0 +1,151 @@
+"""Perceptual-hash near-duplicate detection for the image modality.
+
+``multimodal_phash_neardup`` extends the dedup family to images: each
+document's synthetic 8x8 grayscale tile (64 deterministic bytes from
+chained md5 of the text — the same JVM-side synthesis convention as
+the PPM operators; a real deployment feeds decoded thumbnails through
+the identical kernel) is reduced to a 64-bit DCT perceptual hash in an
+Arrow-batched ``mapInPandas`` kernel (type-II DCT as two 8x8 matrix
+multiplies — numpy BLAS, no per-row Python), and near-duplicate pairs
+are found by BANDED hamming search: the 64-bit hash splits into four
+16-bit bands, candidates collide on at least one band, and the exact
+hamming distance is verified with ``bit_count(xor)`` — JVM-side popcount
+on longs, never arrays.
+
+Pigeonhole guarantee: hamming <= 3 flips at most 3 of 4 bands, so every
+such pair shares a band — exact recall at the emitted threshold
+(pairs are emitted up to hamming <= 6; between 4 and 6 recall is
+band-probabilistic, documented). Identical source bytes give distance 0
+always, so exact image dups are guaranteed caught.
+
+Scale contract: the pair generation is banded (never all-pairs); band
+buckets are capped by construction of the 16-bit keyspace, and the
+verify is a long-xor popcount. The hash kernel touches each image once.
+
+No oracle: the DCT kernel is not expressible in SQL — behavior-tested
+(planted identical / perturbed / unrelated images, recall floors) and
+rows-only checked by the driver.
+
+Reference parity: core.clj has no image surface (SURVEY §2.5);
+multimodal-family extension (multimodal/multimodal2/multimodal3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+_MAX_HAMMING = 6
+
+# 8x8 type-II DCT basis, orthonormal — built once, reused per batch
+_N = 8
+_DCT = np.zeros((_N, _N))
+for _k in range(_N):
+    for _i in range(_N):
+        _DCT[_k, _i] = np.cos(np.pi * _k * (2 * _i + 1) / (2 * _N))
+_DCT[0, :] *= np.sqrt(1.0 / _N)
+_DCT[1:, :] *= np.sqrt(2.0 / _N)
+
+
+def phash64(tile: np.ndarray) -> int:
+    """64-bit perceptual hash of an 8x8 grayscale tile: 2-D DCT-II,
+    then each coefficient's sign relative to the median of the 63
+    non-DC coefficients becomes one bit (row-major)."""
+    coef = _DCT @ tile.astype(np.float64) @ _DCT.T
+    flat = coef.flatten()
+    med = np.median(flat[1:])
+    bits = flat > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # interpret as signed 64-bit so it fits a Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        hashes = []
+        for buf in pdf["tile"]:
+            tile = np.frombuffer(bytes(buf), dtype=np.uint8)[:64].reshape(8, 8)
+            hashes.append(phash64(tile))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "phash": pd.Series(hashes, dtype="int64")}
+        )
+
+
+def phash_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, phash) for every document: 64 deterministic tile bytes
+    from chained md5, hashed by the Arrow DCT kernel."""
+    tiles = docs.select(
+        "doc_id",
+        F.expr(
+            "unhex(concat(md5(text), md5(concat(text, 'a')), "
+            "md5(concat(text, 'b')), md5(concat(text, 'c'))))"
+        ).alias("tile"),
+    )
+    return tiles.mapInPandas(_phash_batches, "doc_id bigint, phash bigint")
+
+
+@register(
+    "multimodal_phash_neardup",
+    # no oracle: the DCT kernel has no SQL twin — behavior-tested in
+    # tests/test_r08_ops.py (identity, perturbation recall, unrelated
+    # separation) and rows-only checked by the driver
+    description="image near-dup via 64-bit DCT perceptual hash: each "
+    "document's deterministic 8x8 tile (chained-md5 synthesis, the "
+    "multimodal family's stand-in for decoded thumbnails) is hashed by "
+    "an Arrow-batched DCT kernel, then pairs are found by 4x16-bit "
+    "BAND collision + bit_count(xor) verify — exact recall at hamming "
+    "<= 3 by pigeonhole, emitted up to <= 6; banded (never all-pairs), "
+    "popcount on longs, one image pass",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hashes = phash_table(docs).localCheckpoint(eager=False)
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(phash >> {16 * i}) & 65535").alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .where(F.col("hamming") <= _MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -243,6 +243,10 @@ from orca_spark.operators import embeddings7, events11, text19  # noqa: F401
 # integer-exact sqrt temperature mixing weights.
 from orca_spark.operators import mixture2, recursive, relational13  # noqa: F401
 
+# r08 batch 5: null-safe joins + named-parameter SQL, the Benford
+# fabricated-amounts screen, and DCT perceptual-hash image near-dup.
+from orca_spark.operators import analytics5, multimodal4, relational14  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -374,3 +374,71 @@ def test_recursive_paths_bounded_expansion(spark, tmp_path):
     got = {r.path: r.depth for r in
            queries()["sql_recursive_type_paths"](spark, str(tmp_path)).collect()}
     assert got == {"view>click": 1, "click>purchase": 1, "view>click>purchase": 2}
+
+
+def test_null_safe_join_keeps_null_lang_cohort(spark, tmp_path):
+    _write_docs(
+        tmp_path,
+        [(1, "a", "en", "s"), (2, "b", "en", "s"), (3, "c", None, "s")],
+    )
+    rows = {r.doc_id: r for r in
+            queries()["join_null_safe_eq"](spark, str(tmp_path)).collect()}
+    assert len(rows) == 3  # the NULL-lang doc is NOT dropped
+    assert rows[1].lang_n_docs == 2
+    assert rows[3].lang is None and rows[3].lang_n_docs == 1
+
+
+def test_benford_digits_from_cents_strings(spark, tmp_path):
+    # totals 1.00, 10.00, 19.99, 25.00 -> cents 100, 1000, 1999, 2500
+    # -> leading digits 1,1,1,2
+    _write_orders_customers(
+        tmp_path,
+        [(1, 1, _EPOCH_2024), (2, 1, _EPOCH_2024), (3, 1, _EPOCH_2024),
+         (4, 1, _EPOCH_2024)],
+        [(1, 0)],
+    )
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+
+    t = pq_.read_table(os.path.join(str(tmp_path), "orders.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("o_totalprice"),
+        "o_totalprice",
+        pa_.array([1.00, 10.00, 19.99, 25.00], pa_.float64()),
+    )
+    pq_.write_table(t, os.path.join(str(tmp_path), "orders.parquet"))
+    got = {r.digit: r for r in
+           queries()["orders_benford_deviation"](spark, str(tmp_path)).collect()}
+    assert got[1].n == 3 and got[2].n == 1
+    assert got[1].obs_ppm == 750000 and got[2].obs_ppm == 250000
+    assert got[1].exp_ppm == 301029  # int(log10(2) * 1e6)
+
+
+def test_phash_identity_perturbation_and_separation(spark, tmp_path):
+    # docs 1 and 2 share text -> identical tiles -> hamming 0 pair;
+    # doc 3 is unrelated -> no pair with 1/2 (independent md5 bytes:
+    # expected hamming ~32, far above the 6 cutoff)
+    _write_docs(
+        tmp_path,
+        [(1, "the same text", "en", "s"), (2, "the same text", "en", "s"),
+         (3, "completely different words here", "en", "s")],
+    )
+    rows = queries()["multimodal_phash_neardup"](spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_phash_kernel_locality():
+    """A 1-byte tile perturbation must move few hash bits (locality),
+    and the kernel must be deterministic."""
+    import numpy as np
+
+    from orca_spark.operators.multimodal4 import phash64
+
+    rng = np.random.RandomState(11)
+    tile = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    h1 = phash64(tile)
+    assert h1 == phash64(tile.copy())
+    bumped = tile.copy()
+    bumped[3, 4] = (int(bumped[3, 4]) + 8) % 256
+    h2 = phash64(bumped)
+    assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 16

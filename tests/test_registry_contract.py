@@ -55,6 +55,9 @@ def test_oracles_are_subset_with_known_exceptions():
         # zlib is deterministic but not expressible in SQL — planted
         # repetition/noise + determinism tests (tests/test_r08_ops.py)
         "text_compression_ratio",
+        # the DCT kernel has no SQL twin — identity/perturbation/
+        # separation behavior tests (tests/test_r08_ops.py)
+        "multimodal_phash_neardup",
     }, oracleless
 
 
