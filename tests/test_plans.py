@@ -502,3 +502,50 @@ def test_shuffle_hash_hint_changes_physical_strategy(spark):
     still pass the oracle."""
     p = plan_str(spark, "join_hinted_shuffle_hash")
     assert "ShuffledHashJoin" in p
+
+
+def test_r08_pair_generators_have_no_cartesian(spark):
+    """Round-8 pair/join paths: the interval-overlap self-join must key
+    on custkey with the range predicates as post-join filters (never a
+    cartesian class), the phash band join on (band, key), and the RAG
+    composition's survivor join on its equality keys."""
+    for name in [
+        "orders_interval_overlap_pairs",
+        "multimodal_phash_neardup",
+        "pipeline_rag_corpus",
+    ]:
+        p = plan_str(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BatchEvalPython" not in p, f"{name} fell back to a Python UDF"
+
+
+def test_null_safe_join_still_plans_as_hash_join(spark):
+    """The entire point of <=>: NULL-keeping semantics WITHOUT giving up
+    the hash-join physical strategy."""
+    p = plan_str(spark, "join_null_safe_eq")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_r08_aggregates_partial_combine(spark):
+    """The new scan-bound aggregates must map-side combine — at scale
+    the shuffle carries partials (digit/dim/group rows), not the table."""
+    for name in [
+        "orders_benford_deviation",
+        "embedding_dimension_profile",
+        "corpus_sqrt_mix_weights",
+        "orders_running_distinct_customers",
+    ]:
+        p = plan_str(spark, name)
+        assert "partial_sum" in p or "partial_count" in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_parameterized_sql_pushes_param_filter_to_scan(spark):
+    """Named parameters must bind as literals visible to pushdown: the
+    priority equality must reach the parquet scan's PushedFilters."""
+    p = plan_str(spark, "sql_parameterized_query")
+    assert "PushedFilters" in p
+    assert "o_orderpriority" in p.split("PushedFilters")[1][:300]

@@ -121,6 +121,23 @@ HEAVY = [
     "events_slo_burn_rate",
     "orders_priority_mix_drift",
     "customer_order_gap_median",
+    # r08 additions: the composed RAG build, the TWS state family
+    # (ValueState/ListState/MapState run the real protobuf transport at
+    # sf0.1), and the new exact-arithmetic analytics/engine surfaces
+    "pipeline_rag_corpus",
+    "streaming_tws_user_running_max",
+    "streaming_tws_last_k_events",
+    "streaming_tws_type_counts",
+    "events_cusum_changepoint",
+    "text_gopher_quality_rules",
+    "embedding_dimension_profile",
+    "corpus_sqrt_mix_weights",
+    "orders_interval_overlap_pairs",
+    "orders_running_distinct_customers",
+    "sql_recursive_type_paths",
+    "join_null_safe_eq",
+    "sql_parameterized_query",
+    "orders_benford_deviation",
 ]
 
 _Q = queries()
