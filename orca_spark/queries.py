@@ -247,6 +247,13 @@ from orca_spark.operators import mixture2, recursive, relational13  # noqa: F401
 # fabricated-amounts screen, and DCT perceptual-hash image near-dup.
 from orca_spark.operators import analytics5, multimodal4, relational14  # noqa: F401
 
+# r08 batch 6: dynamic-gap session windows (per-event timeouts).
+from orca_spark.operators import events12  # noqa: F401
+
+# r08 batch 7: TWS event-time timers (emit-on-quiet flush) — completes
+# the transformWithStateInPandas facility coverage.
+from orca_spark.streaming import jobs11  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -442,3 +442,83 @@ def test_phash_kernel_locality():
     bumped[3, 4] = (int(bumped[3, 4]) + 8) % 256
     h2 = phash64(bumped)
     assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 16
+
+
+def test_dynamic_gap_sessions_split_by_type_timeout(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _M = 60_000_000  # one minute in µs
+    # user 1: click@0 opens [0, 5m); view@3m falls inside and EXTENDS
+    # the session to 3m+30m = 33m (its own slow gap); click@40m is past
+    # 33m -> new session [40m, 45m). The per-event gap is what makes
+    # the first session survive 33 minutes while the lone click's
+    # would have closed at 5.
+    rows = [
+        (1, _EPOCH_2024 + 0 * _M, 1, "click", 1.0),
+        (2, _EPOCH_2024 + 3 * _M, 1, "view", 1.0),
+        (3, _EPOCH_2024 + 40 * _M, 1, "click", 1.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = sorted(
+        queries()["events_session_window_dynamic_gap"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.session_start_us,
+    )
+    assert [(r.n_events,
+             (r.session_start_us - _EPOCH_2024) // _M,
+             (r.session_end_us - _EPOCH_2024) // _M) for r in got] == [
+        (2, 0, 33),
+        (1, 40, 45),
+    ]
+
+
+def test_tws_timer_flush_fold_without_transport():
+    """The timer processor's fold: silent data path, flush on expiry,
+    state carried across micro-batches."""
+    import pandas as pd
+
+    from orca_spark.streaming.jobs11 import make_timer_flush_processor
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v, self._set = None, False
+
+        def exists(self):
+            return self._set
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self._set = v, True
+
+    class _Handle:
+        def __init__(self):
+            self.states, self.timers = {}, []
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _FakeValueState())
+
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+
+    proc = make_timer_flush_processor()
+    h = _Handle()
+    proc.init(h)
+    b1 = pd.DataFrame({"value": [1.25, 2.50]})
+    assert list(proc.handleInputRows((9,), iter([b1]), None)) == []  # silent
+    b2 = pd.DataFrame({"value": [0.25]})
+    assert list(proc.handleInputRows((9,), iter([b2]), None)) == []
+    assert h.timers == [1, 1]  # re-armed each batch
+    out = list(proc.handleExpiredTimer((9,), None, None))[0]
+    assert (out.loc[0, "n_events"], out.loc[0, "cents_total"]) == (3, 400)

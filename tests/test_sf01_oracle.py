@@ -138,6 +138,8 @@ HEAVY = [
     "join_null_safe_eq",
     "sql_parameterized_query",
     "orders_benford_deviation",
+    "events_session_window_dynamic_gap",
+    "streaming_tws_timer_flush",
 ]
 
 _Q = queries()
