@@ -35,7 +35,7 @@ _MAX_DEPTH = 3
 _SQL = f"""
     WITH RECURSIVE edges AS (
         SELECT DISTINCT prev_type AS src, event_type AS dst
-        FROM transitions
+        FROM _rp_transitions
         WHERE prev_type IS NOT NULL
     ),
     paths (src, dst, depth, path) AS (
@@ -100,5 +100,5 @@ def sql_recursive_type_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ts IS NOT NULL AND event_type IS NOT NULL
           AND user_id IS NOT NULL
         """
-    ).createOrReplaceTempView("transitions")
+    ).createOrReplaceTempView("_rp_transitions")
     return spark.sql(_SQL)

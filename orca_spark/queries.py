@@ -254,6 +254,10 @@ from orca_spark.operators import events12  # noqa: F401
 # the transformWithStateInPandas facility coverage.
 from orca_spark.streaming import jobs11  # noqa: F401
 
+# r08 batch 8: paper-backed curation trio — DSIR importance weights,
+# CCNet perplexity terciles, inverted-index postings summary.
+from orca_spark.operators import curation2  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -89,6 +89,10 @@ _DOC_QUERIES = [
     "similarity_tfidf_cosine_pairs",
     "pipeline_pretrain_corpus",
     "dedup_containment_pairs",
+    # round-8 batch-8 curation trio (documents-driven, all oracled)
+    "corpus_dsir_importance",
+    "corpus_ccnet_perplexity_buckets",
+    "retrieval_inverted_index",
 ]
 
 

@@ -549,3 +549,28 @@ def test_parameterized_sql_pushes_param_filter_to_scan(spark):
     p = plan_str(spark, "sql_parameterized_query")
     assert "PushedFilters" in p
     assert "o_orderpriority" in p.split("PushedFilters")[1][:300]
+
+
+def test_curation_trio_partial_combine_no_cartesian_no_python(spark):
+    """The r08 batch-8 curation trio is explode -> term/doc-keyed
+    groupBys: every agg must map-side combine, the scalar totals must
+    ride as broadcasts (BroadcastNestedLoop over ONE-row sides only —
+    never a CartesianProduct), and nothing falls back to Python."""
+    for name in [
+        "corpus_dsir_importance",
+        "corpus_ccnet_perplexity_buckets",
+        "retrieval_inverted_index",
+    ]:
+        p = plan_str(spark, name)
+        assert "partial_count" in p or "partial_sum" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_inverted_index_argmax_is_aggregated_not_windowed(spark):
+    """The top-posting arg-max must be the partial-aggregable
+    max(struct), not a per-term row_number window (a window would sort
+    the full postings stream at scale)."""
+    p = plan_str(spark, "retrieval_inverted_index")
+    assert "Window" not in p
+    assert "partial_max" in p or "max(top" in p or "max(struct" in p

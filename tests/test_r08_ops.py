@@ -522,3 +522,85 @@ def test_tws_timer_flush_fold_without_transport():
     assert h.timers == [1, 1]  # re-armed each batch
     out = list(proc.handleExpiredTimer((9,), None, None))[0]
     assert (out.loc[0, "n_events"], out.loc[0, "cents_total"]) == (3, 400)
+
+
+def test_dsir_importance_prefers_target_like_documents(spark, tmp_path):
+    # Corpus: a:3 b:2 c:2 -> total_c=7, V=3. Target (src0) = doc 1
+    # only: a:2 b:1 -> total_t=3. Add-1 weight(w) =
+    # ln(((c_t+1)*(total_c+V)) / ((c_c+1)*(total_t+V))).
+    import math
+
+    _write_docs(
+        tmp_path,
+        [
+            (1, "a a b", "en", "src0"),
+            (2, "a b", "en", "web"),
+            (3, "c c", "en", "web"),
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in queries()["corpus_dsir_importance"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    w_a = math.log((3 * 10) / (4 * 6))
+    w_b = math.log((2 * 10) / (3 * 6))
+    w_c = math.log((1 * 10) / (3 * 6))
+    assert rows[1].n_tokens == 3
+    assert rows[1].dsir_logratio == round((2 * w_a + w_b) / 3, 4)
+    assert rows[3].dsir_logratio == round(w_c, 4)
+    # target-like docs score positive, off-target negative
+    assert rows[1].dsir_logratio > 0 > rows[3].dsir_logratio
+
+
+def test_ccnet_terciles_partition_each_language_by_score(spark, tmp_path):
+    # 6 en docs -> terciles of 2; buckets must be score-ordered
+    # (head = best = highest mean logprob) and exhaustive.
+    _write_docs(
+        tmp_path,
+        [
+            (1, "a a a a", "en", "s"),
+            (2, "a a a b", "en", "s"),
+            (3, "a a b b", "en", "s"),
+            (4, "a b b c", "en", "s"),
+            (5, "b c c d", "en", "s"),
+            (6, "c d d e", "en", "s"),
+        ],
+    )
+    rows = {
+        r.bucket: r
+        for r in queries()["corpus_ccnet_perplexity_buckets"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {"head", "middle", "tail"}
+    assert all(r.n_docs == 2 for r in rows.values())
+    assert rows["head"].min_logprob >= rows["middle"].max_logprob
+    assert rows["middle"].min_logprob >= rows["tail"].max_logprob
+
+
+def test_inverted_index_postings_and_tie_break(spark, tmp_path):
+    # x: tf (d1,2),(d2,1); y: (d1,1),(d2,2); t: (d1,1),(d2,1) tie ->
+    # lowest doc_id wins; z appears in one doc -> df 1, filtered.
+    _write_docs(
+        tmp_path,
+        [
+            (1, "x x y t", "en", "s"),
+            (2, "x y y t", "en", "s"),
+            (3, "z", "en", "s"),
+        ],
+    )
+    rows = {
+        r.term: r
+        for r in queries()["retrieval_inverted_index"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {"x", "y", "t"}
+    assert (rows["x"].df, rows["x"].cf, rows["x"].top_doc_id,
+            rows["x"].top_tf) == (2, 3, 1, 2)
+    assert (rows["y"].df, rows["y"].cf, rows["y"].top_doc_id,
+            rows["y"].top_tf) == (2, 3, 2, 2)
+    assert (rows["t"].df, rows["t"].cf, rows["t"].top_doc_id,
+            rows["t"].top_tf) == (2, 2, 1, 1)

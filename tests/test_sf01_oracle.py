@@ -140,6 +140,10 @@ HEAVY = [
     "orders_benford_deviation",
     "events_session_window_dynamic_gap",
     "streaming_tws_timer_flush",
+    # r08 batch-8 curation trio
+    "corpus_dsir_importance",
+    "corpus_ccnet_perplexity_buckets",
+    "retrieval_inverted_index",
 ]
 
 _Q = queries()
