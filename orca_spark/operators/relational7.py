@@ -458,3 +458,90 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            WHERE l_quantity > 0
+            GROUP BY 1, 2
+        ),
+        eur AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        cand AS (
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_cost
+            FROM ps
+            JOIN part ON p_partkey = l_partkey
+            JOIN eur  ON s_suppkey = l_suppkey
+            WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+        ),
+        mc AS (SELECT p_partkey, min(unit_cost) AS min_cost
+               FROM cand GROUP BY 1)
+        SELECT cand.p_partkey AS partkey, p_name AS part_name,
+               s_name AS supp_name, round(s_acctbal, 2) AS acctbal,
+               n_name AS nation,
+               CAST(floor(unit_cost * 65536) AS BIGINT) AS unit_cost_fp
+        FROM cand JOIN mc ON mc.p_partkey = cand.p_partkey
+                         AND cand.unit_cost = mc.min_cost
+    """,
+    description="TPC-H q2 pattern (minimum-cost supplier): per-part "
+    "minimum unit cost across region-restricted suppliers, then the "
+    "supplier rows achieving that minimum — the correlated-min "
+    "subquery becomes a per-part agg joined back on (partkey, cost); "
+    "dims broadcast, the derived part-supplier cost table replaces the "
+    "absent partsupp (unit cost = min extendedprice/quantity observed "
+    "in lineitem); equality on the min is safe because both sides "
+    "carry the identical IEEE double produced by the same division",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .where(F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(eur, ps.l_suppkey == eur.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    mc = cand.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        cand.join(mc, "p_partkey")
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supp_name"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            # fixed-point 2^16 encoding: multiply-by-power-of-two and
+            # floor are both exact on binary doubles, so the surfaced
+            # integer is cross-engine hash-exact (round(x, 4) is not:
+            # Spark rounds the shortest decimal repr, DuckDB the exact
+            # binary value, and they disagree on .xxxx5 boundaries)
+            F.floor(F.col("unit_cost") * F.lit(65536.0))
+            .cast("long")
+            .alias("unit_cost_fp"),
+        )
+    )

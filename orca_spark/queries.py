@@ -258,6 +258,11 @@ from orca_spark.streaming import jobs11  # noqa: F401
 # CCNet perplexity terciles, inverted-index postings summary.
 from orca_spark.operators import curation2  # noqa: F401
 
+# r08 batch 9: TPC-H q2 completion lives in relational7; robust stats
+# (Theil-Sen trend, Kaplan-Meier survival) and the C4 cleaning rules.
+from orca_spark.operators import robust  # noqa: F401
+from orca_spark.operators import text20  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -93,6 +93,7 @@ _DOC_QUERIES = [
     "corpus_dsir_importance",
     "corpus_ccnet_perplexity_buckets",
     "retrieval_inverted_index",
+    "text_c4_filter_rules",
 ]
 
 

@@ -574,3 +574,33 @@ def test_inverted_index_argmax_is_aggregated_not_windowed(spark):
     p = plan_str(spark, "retrieval_inverted_index")
     assert "Window" not in p
     assert "partial_max" in p or "max(top" in p or "max(struct" in p
+
+
+def test_q2_broadcasts_dims_no_cartesian(spark):
+    """q2's part filter and the region-restricted supplier dim must be
+    broadcast sides; the min-cost join-back shuffles on partkey only —
+    never a CartesianProduct, never Python."""
+    p = plan_str(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_robust_stats_stay_jvm_side(spark):
+    """Theil-Sen and Kaplan-Meier are pure DataFrame plans: the hourly /
+    per-t pre-aggregations partial-combine, nothing drops to Python, and
+    the Theil-Sen pair stage is an equi-join on event_type (hash or
+    sort-merge), not a cartesian."""
+    for name in ["events_theilsen_trend", "orders_survival_km"]:
+        p = plan_str(spark, name)
+        assert "partial_count" in p or "partial_sum" in p, name
+        assert "BatchEvalPython" not in p, name
+    assert "CartesianProduct" not in plan_str(spark, "events_theilsen_trend")
+
+
+def test_c4_rules_shuffle_free(spark):
+    """The C4 scorecard is a row-local map: no exchange at all, no
+    Python fallback."""
+    p = plan_str(spark, "text_c4_filter_rules")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p

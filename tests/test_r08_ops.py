@@ -604,3 +604,184 @@ def test_inverted_index_postings_and_tie_break(spark, tmp_path):
             rows["y"].top_tf) == (2, 3, 2, 2)
     assert (rows["t"].df, rows["t"].cf, rows["t"].top_doc_id,
             rows["t"].top_tf) == (2, 2, 1, 1)
+
+
+def _write_events_hours(d, rows):
+    """rows: (event_id, hour_offset, event_type, n_in_hour spread as
+    n separate events at distinct minutes)"""
+    ids, ts, types = [], [], []
+    eid = 0
+    for hour_off, etype, n in rows:
+        for k in range(n):
+            ids.append(eid)
+            ts.append(_EPOCH_2024 + hour_off * 3_600_000_000 + k * 60_000_000)
+            types.append(etype)
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ids), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array([1.0] * len(ids), pa.float64()),
+            "props": pa.array(["{}"] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+def test_theilsen_median_slope_resists_outlier_hour(spark, tmp_path):
+    # type a: counts 1,2,3 over three hours -> every pairwise slope is
+    # exactly 1/hr. type b: an outlier first hour (5) then flat 1s ->
+    # OLS would report a strong negative trend; the Theil-Sen median of
+    # the 6 pairwise slopes is avg(-4/3, 0) = -2/3 per hour.
+    _write_events_hours(
+        tmp_path,
+        [(0, "a", 1), (1, "a", 2), (2, "a", 3),
+         (0, "b", 5), (1, "b", 1), (2, "b", 1), (3, "b", 1)],
+    )
+    rows = {
+        r.event_type: r
+        for r in queries()["events_theilsen_trend"](spark, str(tmp_path)).collect()
+    }
+    assert (rows["a"].n_pairs, rows["a"].slope_fp) == (3, 65536)
+    import math
+    assert rows["b"].n_pairs == 6
+    assert rows["b"].slope_fp == math.floor((-4 / 3 + 0) / 2 * 65536)  # -43691
+
+
+def test_kaplan_meier_counts_censored_customers(spark, tmp_path):
+    # cust 1 orders on days 0,10,20 (gaps 10,10; censored span 0);
+    # cust 2 on days 0,5 (gap 5; censored 15); cust 3 on day 20 only
+    # (censored 0 -- a 1-order customer still enters the risk set).
+    # Event times: t=5 (n_risk 4 of 6 obs at risk) -> S=3/4;
+    # t=10 (n_risk 3, d=2) -> S = 3/4 * 1/3 = 1/4.
+    _write_orders_customers(
+        tmp_path,
+        [
+            (1, 1, _EPOCH_2024),
+            (2, 1, _EPOCH_2024 + 10 * _DAY_US),
+            (3, 1, _EPOCH_2024 + 20 * _DAY_US),
+            (4, 2, _EPOCH_2024),
+            (5, 2, _EPOCH_2024 + 5 * _DAY_US),
+            (6, 3, _EPOCH_2024 + 20 * _DAY_US),
+        ],
+        [(1, 0), (2, 0), (3, 0)],
+    )
+    rows = {
+        r.t_days: r
+        for r in queries()["orders_survival_km"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {5, 10}
+    assert (rows[5].n_risk, rows[5].n_events, rows[5].n_censored) == (4, 1, 0)
+    assert rows[5].survival_fp == 49152  # 0.75 * 2^16
+    assert (rows[10].n_risk, rows[10].n_events) == (3, 2)
+    assert rows[10].survival_fp == 16384  # 0.25 * 2^16
+
+
+def test_c4_rules_keep_and_reject(spark, tmp_path):
+    good = (
+        "This is good. It has three sentences here today. "
+        "And enough words per sentence overall."
+    )
+    _write_docs(
+        tmp_path,
+        [
+            (1, good, "en", "s"),
+            (2, "short. no. bad.", "en", "s"),          # wps < 5
+            (3, "Lorem ipsum dolor sit amet. filler words here too. "
+                "and this ends properly.", "en", "s"),  # lorem ipsum
+            (4, "code { sample without terminal", "en", "s"),  # brace
+            (5, "Enable JavaScript to view. second sentence is here. "
+                "third one closes it out.", "en", "s"),  # javascript
+            (6, "no terminal punctuation at all", "en", "s"),
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in queries()["text_c4_filter_rules"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1].keep
+    assert (rows[1].n_sentences, rows[1].n_words, rows[1].wps_centi) == (3, 15, 500)
+    assert not rows[2].keep and rows[2].wps_centi == 100
+    assert not rows[3].keep and rows[3].has_lorem
+    assert not rows[4].keep and rows[4].has_brace and not rows[4].ends_terminal
+    assert not rows[5].keep and rows[5].has_javascript
+    assert not rows[6].keep and rows[6].n_sentences == 1
+
+
+def _write_q2_star(d):
+    """Minimal star for q2: two EUROPE suppliers tie on part 1's min
+    unit cost (both rows must survive); a cheaper AMERICA supplier must
+    NOT win; part 2 fails the size/type filter."""
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "l_partkey": pa.array([1, 1, 1, 2, 1], pa.int64()),
+            "l_suppkey": pa.array([10, 11, 12, 10, 10], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 3, 4, 1], pa.int32()),
+            "l_quantity": pa.array([2.0, 4.0, 1.0, 1.0, 4.0], pa.float64()),
+            "l_extendedprice": pa.array(
+                [20.0, 40.0, 5.0, 7.0, 80.0], pa.float64()
+            ),
+            "l_discount": pa.array([0.0] * 5, pa.float64()),
+            "l_tax": pa.array([0.0] * 5, pa.float64()),
+            "l_returnflag": pa.array(["N"] * 5, pa.string()),
+            "l_linestatus": pa.array(["O"] * 5, pa.string()),
+            "l_shipdate": pa.array([_EPOCH_2024] * 5, pa.timestamp("us")),
+        }),
+        os.path.join(str(d), "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_name": pa.array(["brass widget", "odd part"], pa.string()),
+            "p_brand": pa.array(["Brand#1"] * 2, pa.string()),
+            "p_type": pa.array(["STANDARD", "STANDARD"], pa.string()),
+            "p_size": pa.array([15, 50], pa.int32()),
+            "p_retailprice": pa.array([1.0, 1.0], pa.float64()),
+        }),
+        os.path.join(str(d), "part.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+            "s_name": pa.array(["eu-a", "eu-b", "us-c"], pa.string()),
+            "s_nationkey": pa.array([1, 1, 2], pa.int32()),
+            "s_acctbal": pa.array([100.0, 200.0, 300.0], pa.float64()),
+        }),
+        os.path.join(str(d), "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "n_nationkey": pa.array([1, 2], pa.int32()),
+            "n_name": pa.array(["FRANCE", "BRAZIL"], pa.string()),
+            "n_regionkey": pa.array([1, 2], pa.int32()),
+        }),
+        os.path.join(str(d), "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "r_regionkey": pa.array([1, 2], pa.int32()),
+            "r_name": pa.array(["EUROPE", "AMERICA"], pa.string()),
+        }),
+        os.path.join(str(d), "region.parquet"),
+    )
+    return str(d)
+
+
+def test_q2_min_cost_ties_kept_region_enforced(spark, tmp_path):
+    # part 1 unit costs: supp 10 -> min(10.0, 20.0) = 10.0, supp 11 ->
+    # 10.0 (tie, BOTH kept), supp 12 (AMERICA, cost 5.0) excluded by
+    # region BEFORE the min; part 2 excluded by the size filter.
+    _write_q2_star(tmp_path)
+    rows = sorted(
+        queries()["q2_min_cost_supplier"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.supp_name,
+    )
+    assert [(r.partkey, r.supp_name, r.nation, r.unit_cost_fp) for r in rows] == [
+        (1, "eu-a", "FRANCE", 10 * 65536),
+        (1, "eu-b", "FRANCE", 10 * 65536),
+    ]
+    assert rows[0].acctbal == 100.0 and rows[1].acctbal == 200.0

@@ -144,6 +144,11 @@ HEAVY = [
     "corpus_dsir_importance",
     "corpus_ccnet_perplexity_buckets",
     "retrieval_inverted_index",
+    # r08 batch 9: TPC-H q2 + robust stats + C4 rules
+    "q2_min_cost_supplier",
+    "events_theilsen_trend",
+    "orders_survival_km",
+    "text_c4_filter_rules",
 ]
 
 _Q = queries()
