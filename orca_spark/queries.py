@@ -263,6 +263,11 @@ from orca_spark.operators import curation2  # noqa: F401
 from orca_spark.operators import robust  # noqa: F401
 from orca_spark.operators import text20  # noqa: F401
 
+# r08 batch 10: audio/video modality kernels, chi-square contingency
+# audit, boundary-overlap dedup.
+from orca_spark.operators import multimodal5  # noqa: F401
+from orca_spark.operators import analytics6  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

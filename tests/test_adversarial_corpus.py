@@ -94,6 +94,10 @@ _DOC_QUERIES = [
     "corpus_ccnet_perplexity_buckets",
     "retrieval_inverted_index",
     "text_c4_filter_rules",
+    # r08 batch 10 (documents-driven)
+    "multimodal_audio_features",
+    "multimodal_video_scene_cuts",
+    "dedup_prefix_suffix_overlap",
 ]
 
 

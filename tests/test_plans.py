@@ -604,3 +604,32 @@ def test_c4_rules_shuffle_free(spark):
     p = plan_str(spark, "text_c4_filter_rules")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_chi2_broadcasts_marginals_no_cartesian(spark):
+    """The chi2 marginals and the scalar N are one-row/dim-sized
+    broadcasts; the only BroadcastNestedLoop allowed is the one-row
+    total — never a CartesianProduct, never Python."""
+    p = plan_str(spark, "customer_segment_nation_chi2")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_prefix_suffix_join_is_equi_hash_not_cartesian(spark):
+    """The boundary join must be an equality join on the boundary key
+    (hash or sort-merge), never all-pairs."""
+    p = plan_str(spark, "dedup_prefix_suffix_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "Join" in p
+
+
+def test_audio_video_kernels_are_arrow_batched_maps(spark):
+    """The modality kernels are single mapInPandas passes: Arrow
+    batched (never row-at-a-time BatchEvalPython), no shuffle."""
+    for name in ["multimodal_audio_features", "multimodal_video_scene_cuts"]:
+        p = plan_str(spark, name)
+        assert "MapInPandas" in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "Exchange" not in p, name

@@ -785,3 +785,113 @@ def test_q2_min_cost_ties_kept_region_enforced(spark, tmp_path):
         (1, "eu-b", "FRANCE", 10 * 65536),
     ]
     assert rows[0].acctbal == 100.0 and rows[1].acctbal == 200.0
+
+
+def test_audio_features_planted_waveform(spark, tmp_path):
+    # stub decode: UTF-8 bytes centered at 64. "K!" -> samples [11, -31]:
+    # one zero crossing, energy 121+961=1082, peak 31, no silence
+    # (|s| > 2 both), no clip. "@" -> [0]: zero sample counts as
+    # silence, zero energy. "~~~~" -> [62]*4: every sample clipped
+    # (>=60), no crossings.
+    _write_docs(
+        tmp_path,
+        [(1, "K!", "en", "s"), (2, "@", "en", "s"), (3, "~~~~", "en", "s")],
+    )
+    rows = {
+        r.doc_id: r
+        for r in queries()["multimodal_audio_features"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    import math
+    a = rows[1]
+    assert (a.n_samples, a.energy, a.n_zero_cross, a.peak) == (2, 1082, 1, 31)
+    assert a.rms_fp == math.floor(math.sqrt(1082 / 2) * 65536)
+    assert (a.silence_ppm, a.n_clipped) == (0, 0)
+    assert (rows[2].energy, rows[2].silence_ppm) == (0, 1_000_000)
+    assert (rows[3].n_clipped, rows[3].n_zero_cross) == (4, 0)
+
+
+def test_video_scene_cuts_planted_frames(spark, tmp_path):
+    # 64 'a' + 64 'z': frame sums 64*97=6208, 64*122=7808 -> delta 1600
+    # >= 512 -> one cut. 128 'a': delta 0 -> no cut. 63 bytes -> zero
+    # whole frames.
+    _write_docs(
+        tmp_path,
+        [
+            (1, "a" * 64 + "z" * 64, "en", "s"),
+            (2, "a" * 128, "en", "s"),
+            (3, "a" * 63, "en", "s"),
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in queries()["multimodal_video_scene_cuts"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (rows[1].n_frames, rows[1].n_cuts, rows[1].max_delta,
+            rows[1].first_frame_sum) == (2, 1, 1600, 6208)
+    assert (rows[2].n_frames, rows[2].n_cuts, rows[2].max_delta) == (2, 0, 0)
+    assert rows[3].n_frames == 0
+
+
+def test_chi2_uniform_table_has_zero_contributions(spark, tmp_path):
+    # 2 segments x 2 nations, perfectly uniform -> expected == observed
+    # == 1, contribution 0 everywhere; expected_fp = 1.0 * 2^16.
+    _write_orders_customers(
+        tmp_path,
+        [(1, 1, _EPOCH_2024)],
+        [(1, 0), (2, 0), (3, 1), (4, 1)],
+    )
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    # rewrite customer with alternating segments; add nation table
+    _pq.write_table(
+        _pa.table({
+            "c_custkey": _pa.array([1, 2, 3, 4], _pa.int64()),
+            "c_name": _pa.array(["c"] * 4, _pa.string()),
+            "c_nationkey": _pa.array([0, 1, 0, 1], _pa.int32()),
+            "c_acctbal": _pa.array([0.0] * 4, _pa.float64()),
+            "c_mktsegment": _pa.array(
+                ["BUILDING", "BUILDING", "MACHINERY", "MACHINERY"],
+                _pa.string(),
+            ),
+        }),
+        os.path.join(str(tmp_path), "customer.parquet"),
+    )
+    _pq.write_table(
+        _pa.table({
+            "n_nationkey": _pa.array([0, 1], _pa.int32()),
+            "n_name": _pa.array(["KENYA", "PERU"], _pa.string()),
+            "n_regionkey": _pa.array([0, 0], _pa.int32()),
+        }),
+        os.path.join(str(tmp_path), "nation.parquet"),
+    )
+    rows = queries()["customer_segment_nation_chi2"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 4
+    assert all(r.observed == 1 for r in rows)
+    assert all(r.expected_fp == 65536 for r in rows)
+    assert all(r.contrib_fp == 0 for r in rows)
+
+
+def test_prefix_suffix_overlap_catches_stitch_boundary(spark, tmp_path):
+    # doc 2 begins with doc 1's last 4 tokens (pagination re-crawl);
+    # doc 3 shares no boundary; doc 4 is too short to index.
+    _write_docs(
+        tmp_path,
+        [
+            (1, "intro words here then p1 p2 p3 p4", "en", "s"),
+            (2, "p1 p2 p3 p4 continues the next page", "en", "s"),
+            (3, "completely different text body here now", "en", "s"),
+            (4, "too short", "en", "s"),
+        ],
+    )
+    rows = queries()["dedup_prefix_suffix_overlap"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r.tail_doc_id, r.head_doc_id, r.boundary_key) for r in rows] == [
+        (1, 2, "p1 p2 p3 p4")
+    ]

@@ -58,6 +58,10 @@ def test_oracles_are_subset_with_known_exceptions():
         # the DCT kernel has no SQL twin — identity/perturbation/
         # separation behavior tests (tests/test_r08_ops.py)
         "multimodal_phash_neardup",
+        # byte-level DSP / framed diffing have no SQL twin — planted
+        # waveform and scene-cut fixtures (tests/test_r08_ops.py)
+        "multimodal_audio_features",
+        "multimodal_video_scene_cuts",
     }, oracleless
 
 

@@ -149,6 +149,9 @@ HEAVY = [
     "events_theilsen_trend",
     "orders_survival_km",
     "text_c4_filter_rules",
+    # r08 batch 10 (oracled members)
+    "customer_segment_nation_chi2",
+    "dedup_prefix_suffix_overlap",
 ]
 
 _Q = queries()
