@@ -277,10 +277,18 @@ def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     path = scratch_path("json_corrupt", sf_dir)
     # coalesce: concat(NULL) would make the whole line NULL, and the
-    # text sink rejects NULL values — a NULL-text doc still quarantines
+    # text sink rejects NULL values — a NULL-text doc still quarantines.
+    # translate \n away: the corrupt payload goes RAW into a line-based
+    # text sink, so embedded newlines would split one mangled doc into
+    # many corrupt records and break the doc<->line bijection the oracle
+    # counts on (to_json escapes newlines on the clean branch; the
+    # mangled branch must stay single-line by construction too)
     line = F.when(
         F.col("doc_id") % 10 == 0,
-        F.concat(F.lit("CORRUPT "), F.coalesce(F.col("text"), F.lit(""))),
+        F.concat(
+            F.lit("CORRUPT "),
+            F.translate(F.coalesce(F.col("text"), F.lit("")), "\n\r", "  "),
+        ),
     ).otherwise(F.to_json(F.struct("doc_id", "text", "lang")))
     d.select(line.alias("value")).write.mode("overwrite").text(path)
     back = spark.read.schema(

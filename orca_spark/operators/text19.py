@@ -113,23 +113,30 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").cast("long").alias("n_words"),
         F.size("lines").cast("long").alias("n_lines"),
+        # every ppm/centi multiply is widened to BIGINT *before* the
+        # multiply: size()/length() are INT, and INT * 1000000 overflows
+        # (ANSI ARITHMETIC_OVERFLOW) past ~2147 qualifying lines / ~21M
+        # chars — exactly the web-scale docs this filter exists for.
         F.when(F.size("toks") == 0, F.lit(0).cast("long"))
-        .otherwise(F.expr("tok_chars * 100 div size(toks)"))
+        .otherwise(F.expr("CAST(tok_chars AS BIGINT) * 100 div size(toks)"))
         .alias("mean_word_len_c"),
         F.expr(
-            "size(filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) "
-            "* 1000000 div size(lines)"
+            "CAST(size(filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) "
+            "AS BIGINT) * 1000000 div size(lines)"
         )
         .cast("long")
         .alias("bullet_ppm"),
-        F.expr("size(filter(lines, l -> l LIKE '%...')) * 1000000 div size(lines)")
+        F.expr(
+            "CAST(size(filter(lines, l -> l LIKE '%...')) AS BIGINT) "
+            "* 1000000 div size(lines)"
+        )
         .cast("long")
         .alias("ellipsis_ppm"),
         F.when(F.size("toks") == 0, F.lit(0).cast("long"))
         .otherwise(
             F.expr(
-                "(tok_chars - length(replace(concat_ws('', toks), '#', ''))) "
-                "* 1000000 div size(toks)"
+                "CAST(tok_chars - length(replace(concat_ws('', toks), '#', ''))"
+                " AS BIGINT) * 1000000 div size(toks)"
             )
         )
         .alias("hash_ppm"),

@@ -26,6 +26,7 @@ surface extension alongside jobs5.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,6 +41,27 @@ from orca_spark.streaming.jobs5 import tws_available
 _K = 3
 
 
+def cents_half_away(v: float) -> int:
+    """Money to integer cents with HALF-AWAY-FROM-ZERO ties — the tie
+    rule SQL round() uses in BOTH engines (Spark HALF_UP, DuckDB
+    std::round). Python's builtin round() is banker's (half-to-even)
+    and silently diverges on exact halves: 0.125 * 100 = 12.5 is
+    representable, round(12.5) = 12 but SQL round gives 13 — a real
+    driver-hash mismatch class for any Python-side kernel.
+
+    NOT floor(x + 0.5): the addition itself rounds, and one-ulp-below-
+    half values (2.675 * 100 = 267.49999999999997) tie UP to 268.0 in
+    the add while std::round correctly gives 267. Comparing the exact
+    fractional part (x - floor(x) is exact for |x| < 2^52) has no such
+    double-rounding."""
+    x = v * 100.0
+    if x >= 0:
+        f = math.floor(x)
+        return int(f) + (1 if x - f >= 0.5 else 0)
+    c = math.ceil(x)
+    return int(c) - (1 if c - x >= 0.5 else 0)
+
+
 def make_last_k_processor():
     """ListState fold: keep the _K events with the largest event_id per
     user, emit (n_kept, cents sum of kept values, max event_id). Module
@@ -50,25 +72,35 @@ def make_last_k_processor():
     class LastK(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._buf = handle.getListState("buf", "event_id BIGINT, cents BIGINT")
+            # monotonic progress counter: total events ever folded for
+            # this key. max_event_id is NOT monotonic evidence of
+            # progress (a later batch can displace buffer members
+            # without raising the max), so the final-emission reducer
+            # orders by this instead.
+            self._seen = handle.getValueState("n_seen", "n BIGINT")
 
         def handleInputRows(
             self, key, rows: Iterator[pd.DataFrame], timerValues
         ) -> Iterator[pd.DataFrame]:
             kept = [tuple(t) for t in self._buf.get()] if self._buf.exists() else []
+            seen = int(self._seen.get()[0]) if self._seen.exists() else 0
             for pdf in rows:
+                seen += len(pdf)
                 kept.extend(
-                    (int(e), int(round(v * 100)))
+                    (int(e), cents_half_away(float(v)))
                     for e, v in zip(pdf["event_id"], pdf["value"])
                 )
             kept.sort(key=lambda t: -t[0])
             kept = kept[:_K]
             self._buf.put(kept)
+            self._seen.update((seen,))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_kept": [len(kept)],
                     "cents_kept": [sum(c for _, c in kept)],
                     "max_event_id": [kept[0][0]],
+                    "n_seen": [seen],
                 }
             )
 
@@ -132,31 +164,42 @@ def _final_per_key(out: DataFrame, key_cols: list[str], order_col: str) -> DataF
 
 def streaming_tws_last_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL contract: a row without an event_id or value cannot enter a
-    # last-K-by-id buffer — filtered on both sides, explicitly
+    # last-K-by-id buffer, and a NULL user_id cannot be a TWS grouping
+    # key (jobs11's rule, applied uniformly) — filtered on both sides
     ev = (
         stream_events(spark, sf_dir)
-        .where(F.col("event_id").isNotNull() & F.col("value").isNotNull())
+        .where(
+            F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select("user_id", "event_id", "value")
     )
     updated = ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=make_last_k_processor(),
         outputStructType="user_id bigint, n_kept bigint, cents_kept bigint, "
-        "max_event_id bigint",
+        "max_event_id bigint, n_seen bigint",
         outputMode="Update",
         timeMode="None",
     )
     out = run_to_memory(updated, "update")
-    return _final_per_key(out, ["user_id"], "max_event_id").select(
+    # reduce on the monotonic fold counter, NOT max_event_id: two
+    # emissions can tie on max_event_id while differing in cents_kept
+    # (a later batch displacing smaller buffer members), and a tied
+    # row_number pick would keep a stale row nondeterministically
+    return _final_per_key(out, ["user_id"], "n_seen").select(
         "user_id", "n_kept", "cents_kept", "max_event_id"
     )
 
 
 def streaming_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL contract: NULL cannot be a MapState sub-key (the state row
-    # schema is non-null) — filtered on both sides, explicitly
+    # schema is non-null) nor a TWS grouping key — filtered on both
+    # sides, explicitly. The n_events reducer below is tie-safe: counts
+    # only grow, and emissions tied on n_events are identical rows.
     ev = (
         stream_events(spark, sf_dir)
-        .where(F.col("event_type").isNotNull())
+        .where(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", "event_type")
     )
     updated = ev.groupBy("user_id").transformWithStateInPandas(
@@ -182,6 +225,7 @@ if tws_available():
                                           ORDER BY event_id DESC) AS rn
                 FROM events
                 WHERE event_id IS NOT NULL AND value IS NOT NULL
+                  AND user_id IS NOT NULL
             )
             SELECT user_id,
                    CAST(count(*) AS BIGINT)    AS n_kept,
@@ -203,7 +247,7 @@ if tws_available():
             SELECT user_id, event_type,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events
-            WHERE event_type IS NOT NULL
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             GROUP BY user_id, event_type
         """,
         description="transformWithStateInPandas MapState: per-user map "

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,8 +57,19 @@ def make_timer_flush_processor():
                 n += len(pdf)
                 # round PER ROW then sum: 2-dp money is exact per row
                 # (the jobs10 convention); summing doubles first would
-                # reintroduce float accumulation
-                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+                # reintroduce float accumulation. Half-away-from-zero
+                # ties, NOT pandas .round() (banker's): SQL round() in
+                # both engines gives round(12.5) = 13, .round() gives 12.
+                # Exact-fraction compare, not floor(x + 0.5) — the add
+                # double-rounds one-ulp-below-half values (jobs10's
+                # cents_half_away documents the 2.675 case).
+                x = pdf["value"].to_numpy(dtype="float64") * 100.0
+                f, c = np.floor(x), np.ceil(x)
+                cents += int(
+                    np.where(x >= 0, f + (x - f >= 0.5), c - (c - x >= 0.5))
+                    .astype("int64")
+                    .sum()
+                )
             self._agg.update((n, cents))
             # an already-expired expiry: fires on the next watermark
             # advance — i.e. the final timer micro-batch of a bounded
@@ -80,12 +92,17 @@ def make_timer_flush_processor():
 
 
 def streaming_tws_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL contract: value participates in the cents fold — filtered on
-    # both sides, explicitly (user_id NULL keys cannot group in TWS
-    # event-time mode either way; excluded for a defined key set)
+    # NULL contract: value participates in the cents fold, user_id NULL
+    # keys cannot group in TWS, and the watermark drops NULL event
+    # times (jobs.py:86's invariant) — ALL THREE filtered on both
+    # sides so neither engine's implicit drop behavior is load-bearing
     ev = (
         stream_events(spark, sf_dir)
-        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .where(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
         .withWatermark("ts", "1 hour")
         .select("user_id", "value")
     )
@@ -114,6 +131,7 @@ if tws_available():
                         AS BIGINT) AS cents_total
             FROM events
             WHERE value IS NOT NULL AND user_id IS NOT NULL
+              AND ts IS NOT NULL
             GROUP BY user_id
         """,
         description="transformWithStateInPandas EVENT-TIME TIMERS: the "

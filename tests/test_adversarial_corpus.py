@@ -23,6 +23,11 @@ _NASTY_TEXTS = [
     "héllo wörld 既存 データ",   # unicode
     "x" * 10000,              # one huge token
     "the quick brown fox jumps over the lazy dog " * 3,
+    # INT32-overflow probes: >2147 qualifying lines / '#' chars make any
+    # size()*1000000 ppm computed in INT arithmetic overflow under ANSI
+    # (the text_gopher_quality_rules crash found in round-8 review)
+    "- bullet line\n" * 3000,   # 3000 bullet-started lines
+    "##...\n" * 3000,           # 3000 ellipsis-ended lines, 6000 '#'
 ]
 
 # documents-only queries (their sf_dir needs just documents.parquet)
@@ -98,6 +103,13 @@ _DOC_QUERIES = [
     "multimodal_audio_features",
     "multimodal_video_scene_cuts",
     "dedup_prefix_suffix_overlap",
+    # r08 review gap: documents-driven r08 ops that were missing here —
+    # text_gopher_quality_rules crashed on >2147 bullet lines (INT32
+    # ppm multiply) precisely because it wasn't on this list
+    "text_gopher_quality_rules",
+    "text_compression_ratio",
+    "corpus_sqrt_mix_weights",
+    "join_null_safe_eq",
 ]
 
 

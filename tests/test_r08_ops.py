@@ -124,6 +124,20 @@ class _FakeMapState:
         return iter(self._m.items())
 
 
+class _FakeValueState:
+    def __init__(self):
+        self._v, self._set = None, False
+
+    def exists(self):
+        return self._set
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self._set = v, True
+
+
 class _FakeHandle:
     def __init__(self):
         self.states = {}
@@ -133,6 +147,9 @@ class _FakeHandle:
 
     def getMapState(self, name, kschema, vschema):
         return self.states.setdefault(name, _FakeMapState())
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
 
 
 def test_tws_last_k_fold_trims_across_micro_batches():
@@ -150,12 +167,66 @@ def test_tws_last_k_fold_trims_across_micro_batches():
     out1 = list(proc.handleInputRows((7,), iter([b1]), None))[0]
     assert out1.loc[0, "n_kept"] == 3 and out1.loc[0, "max_event_id"] == 5
     assert out1.loc[0, "cents_kept"] == 600
+    assert out1.loc[0, "n_seen"] == 3
     # batch 2: ids 10 and 4 displace 1 and 3; survivor set {10, 5, 4}
     b2 = pd.DataFrame({"event_id": [10, 4], "value": [0.50, 0.25]})
     out2 = list(proc.handleInputRows((7,), iter([b2]), None))[0]
     assert out2.loc[0, "max_event_id"] == 10
     assert out2.loc[0, "n_kept"] == 3
     assert out2.loc[0, "cents_kept"] == 50 + 100 + 25  # ids 10, 5, 4
+    # the reducer's progress column is strictly monotonic even when
+    # max_event_id would tie (the stale-row pick found in r08 review)
+    assert out2.loc[0, "n_seen"] == 5
+    # batch 3: id 7 displaces 4 — max_event_id TIES with batch 2 while
+    # cents change; only n_seen distinguishes the final emission
+    b3 = pd.DataFrame({"event_id": [7], "value": [9.00]})
+    out3 = list(proc.handleInputRows((7,), iter([b3]), None))[0]
+    assert out3.loc[0, "max_event_id"] == 10  # tie with out2
+    assert out3.loc[0, "cents_kept"] == 50 + 100 + 900  # ids 10, 7, 5
+    assert out3.loc[0, "n_seen"] == 6  # the only monotonic signal
+
+
+def test_tws_cents_round_half_away_from_zero_like_sql():
+    """Python round() / pandas .round() are banker's (half-to-even);
+    SQL round() in Spark AND DuckDB is half away from zero. The TWS
+    kernels fold cents in Python, so an exact-half value (0.125 * 100
+    = 12.5, representable) diverged from the oracle before the r08
+    review fix."""
+    import pandas as pd
+
+    from orca_spark.streaming.jobs10 import cents_half_away, make_last_k_processor
+    from orca_spark.streaming.jobs11 import make_timer_flush_processor
+
+    assert cents_half_away(0.125) == 13       # round() would give 12
+    assert cents_half_away(-0.125) == -13     # away from zero, not up
+    assert cents_half_away(0.124) == 12
+    # duckdb-verified double-path cases: 2.675*100 is EXACTLY 267.5 in
+    # binary (ties away -> 268), 1.005*100 is 100.49999999999999 (no
+    # tie -> 100; floor(x+0.5)-style helpers can double-round here)
+    assert cents_half_away(2.675) == 268
+    assert cents_half_away(1.005) == 100
+
+    proc = make_last_k_processor()
+    proc.init(_FakeHandle())
+    b = pd.DataFrame({"event_id": [1], "value": [0.125]})
+    out = list(proc.handleInputRows((1,), iter([b]), None))[0]
+    assert out.loc[0, "cents_kept"] == 13
+
+    class _Handle:
+        def __init__(self):
+            self.states, self.timers = {}, []
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _FakeValueState())
+
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+
+    tproc = make_timer_flush_processor()
+    tproc.init(_Handle())
+    list(tproc.handleInputRows((1,), iter([pd.DataFrame({"value": [0.125, -0.125]})]), None))
+    flushed = list(tproc.handleExpiredTimer((1,), None, None))[0]
+    assert flushed.loc[0, "cents_total"] == 0  # 13 + (-13)
 
 
 def test_tws_type_counts_fold_accumulates_across_micro_batches():
