@@ -146,13 +146,24 @@ def orc_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a tab-separated line cannot represent a NULL id or NULL text
     # (concat_ws would silently SKIP the null and shift fields on
-    # re-parse) — the representable subset is the operator's contract
+    # re-parse) — the representable subset is the operator's contract.
+    # Embedded line terminators are normalized to spaces on write, the
+    # standard one-doc-per-line corpus convention: a raw \n would split
+    # one doc into several lines whose continuations re-parse as
+    # doc_ids (a CAST crash on read-back). translate is 1:1 so
+    # total_chars still proves the round-trip exactly.
     d = load(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     path = scratch_path("text_roundtrip", sf_dir)
     (
-        d.select(F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value"))
+        d.select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.translate("text", "\n\r", "  "),
+            ).alias("value")
+        )
         .write.mode("overwrite")
         .text(path)
     )

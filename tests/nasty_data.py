@@ -144,6 +144,11 @@ _NASTY_ROWS: dict[str, list[dict]] = {
          "source": "src0", "n_chars": 18},
         {"doc_id": 999_983, "text": "tok " * 2000, "lang": "en",
          "source": "srcX", "n_chars": 8000},
+        # INT32-overflow probe: >2147 qualifying lines make any
+        # size()*1000000 ppm computed in INT arithmetic overflow under
+        # ANSI (the r08 text_gopher_quality_rules crash class)
+        {"doc_id": 999_984, "text": "- bullet...\n" * 3000, "lang": "en",
+         "source": "srcX", "n_chars": 36000},
     ],
     "embeddings": [
         {},

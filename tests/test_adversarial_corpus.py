@@ -110,6 +110,55 @@ _DOC_QUERIES = [
     "text_compression_ratio",
     "corpus_sqrt_mix_weights",
     "join_null_safe_eq",
+    # r08: the 46 documents-only queries the derived completeness
+    # contract (test_doc_queries_list_is_complete) found missing — the
+    # list is no longer trusted by hand
+    "corpus_budget_pack",
+    "corpus_chunk_windows",
+    "corpus_dedup_rate_by_source",
+    "corpus_gini_concentration",
+    "corpus_mixture_plan",
+    "corpus_sequence_pack",
+    "dedup_cross_lingual_exact",
+    "dedup_minhash_incremental",
+    "dedup_span_coverage",
+    "dedup_survivors_weighted",
+    "documents_stratified_sample",
+    "graph_clustering_coefficient",
+    "graph_kcore",
+    "graph_link_prediction_jaccard",
+    "graph_pagerank",
+    "graph_triangle_census",
+    "langid_confusion_matrix",
+    "multimodal_arrow_digest",
+    "multimodal_phash_neardup",
+    "multimodal_ppm_resize",
+    "pipeline_chunk_dedup_index",
+    "pipeline_dedup_funnel",
+    "privacy_k_anonymity_audit",
+    "privacy_l_diversity_audit",
+    "privacy_t_closeness_audit",
+    "profile_sketch_persist_union",
+    "quality_percentile_gate",
+    "schema_drift_report",
+    "source_ngram_novelty",
+    "source_unigram_jsd",
+    "source_unigram_kl",
+    "text_boilerplate_strip_accounting",
+    "text_bpe_apply_token_counts",
+    "text_bpe_token_estimate",
+    "text_code_score",
+    "text_feature_hashing",
+    "text_hapax_ttr_by_lang",
+    "text_lang_stats",
+    "text_ngram_entropy_rate",
+    "text_prefix_boilerplate",
+    "text_readability_proxy",
+    "text_sentence_stats",
+    "text_source_roundtrip",
+    "text_top_terms_per_lang",
+    "text_zipf_exponent",
+    "xml_source_roundtrip",
 ]
 
 
@@ -199,3 +248,47 @@ def test_quality_gate_keeps_best_doc_of_small_sources(spark, tmp_path):
         by_source.setdefault(r.source, set()).add(r.doc_id)
     assert by_source["solo"] == {0}  # the single-doc source survives
     assert by_source["trio"] == {2}  # only its best (6 tokens)
+
+
+def test_doc_queries_list_is_complete(spark):
+    """_DOC_QUERIES is manually curated, and the r08 Gopher INT32
+    overflow escaped to review precisely because a documents-only query
+    was left off it. Derive the ground truth instead of trusting the
+    list: record which tables each registered query touches at
+    plan-construction time (load() resolves tables through
+    orca_spark.tables._RELATION_CACHE, a call-time module global), and
+    require every documents-only query to be on the list."""
+    from orca_spark import tables as tables_mod
+
+    class _Recorder(dict):
+        def __init__(self):
+            super().__init__()
+            self.touched = set()
+
+        def get(self, key, default=None):
+            self.touched.add(key[2])
+            return super().get(key, default)
+
+    rec = _Recorder()
+    orig = tables_mod._RELATION_CACHE
+    tables_mod._RELATION_CACHE = rec
+    used = {}
+    try:
+        for name, fn in queries().items():
+            if name.startswith(
+                ("orc_", "csv_", "json_", "streaming_", "bucketed_")
+            ):
+                continue  # side-effecting on build; same skip as the
+                # schema contract (tests/test_registry_contract.py)
+            rec.touched = set()
+            fn(spark, "/root/testdata/sf0.001")
+            used[name] = frozenset(rec.touched)
+    finally:
+        tables_mod._RELATION_CACHE = orig
+    doc_only = {n for n, t in used.items() if t == {"documents"}}
+    missing = sorted(doc_only - set(_DOC_QUERIES))
+    assert not missing, (
+        f"documents-only queries absent from _DOC_QUERIES (add them so "
+        f"the degenerate-corpus totality + oracle-agreement harness "
+        f"covers them): {missing}"
+    )
