@@ -61,8 +61,15 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY user_id
         ),
         activity AS (
+            -- day-diff // 7, NOT date_diff('week', ...): both operands
+            -- are week-truncated Mondays so the day span is an exact
+            -- multiple of 7, while DuckDB's 'week' part counts
+            -- partition boundaries and loses one at ISO year-end
+            -- spans (1969-12-29 .. 2199-12-30 = 84007 days = 12001
+            -- weeks, but date_diff('week') says 12000)
             SELECT DISTINCT e.user_id, f.cohort_week,
-                   CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INT)
+                   CAST(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) // 7 AS INT)
                        AS week_offset
             FROM events e JOIN firsts f ON e.user_id = f.user_id
         )

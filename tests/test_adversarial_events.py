@@ -59,6 +59,44 @@ _EVENT_QUERIES = [
     "events_heavy_hitters_cms",
     "events_value_histogram",
     "events_value_deciles",
+    # r08: the 35 events-only queries the derived completeness contract
+    # (test_event_queries_list_is_complete) found missing — the list is
+    # no longer trusted by hand
+    "events_ab_welch_t",
+    "events_acf_hourly",
+    "events_active_day_islands",
+    "events_bot_score_heuristics",
+    "events_burst_hours",
+    "events_cohort_retention",
+    "events_cusum_changepoint",
+    "events_daily_new_vs_returning",
+    "events_ewma_smoothed",
+    "events_from_json_struct",
+    "events_funnel",
+    "events_funnel_conversion",
+    "events_hourly_gap_interpolation",
+    "events_mad_robust",
+    "events_multitouch_attribution",
+    "events_observed_ingest_metrics",
+    "events_props_variant_extract",
+    "events_rolling_7day",
+    "events_rolling_dau_7d",
+    "events_rollup_hierarchy",
+    "events_seasonality_index",
+    "events_session_window_batch",
+    "events_session_window_dynamic_gap",
+    "events_slo_burn_rate",
+    "events_theilsen_trend",
+    "events_top_paths",
+    "events_trigram_sequences",
+    "events_type_correlation_hourly",
+    "events_type_hour_association",
+    "events_user_lifecycle",
+    "events_user_type_map_metrics",
+    "range_join_view_attribution",
+    "scalar_regex_extract",
+    "skew_salted_aggregate",
+    "sql_recursive_type_paths",
 ]
 
 
@@ -117,4 +155,47 @@ def test_oracle_agreement_over_degenerate_events(spark, duck, nasty_events_dir, 
     divergences sit latent."""
     compare_query(
         spark, duck, queries()[name], oracle_sql()[name], nasty_events_dir
+    )
+
+
+def test_event_queries_list_is_complete(spark):
+    """Same derived contract as the documents harness
+    (test_adversarial_corpus.test_doc_queries_list_is_complete): record
+    which tables each registered query touches at plan-construction
+    time and require every events-only query to be listed here, so the
+    manual-list gap class stays closed. Streaming queries execute on
+    build and are skipped by the recorder — they are listed manually
+    above and exercised by the totality test."""
+    from orca_spark import tables as tables_mod
+
+    class _Recorder(dict):
+        def __init__(self):
+            super().__init__()
+            self.touched = set()
+
+        def get(self, key, default=None):
+            self.touched.add(key[2])
+            return super().get(key, default)
+
+    rec = _Recorder()
+    orig = tables_mod._RELATION_CACHE
+    tables_mod._RELATION_CACHE = rec
+    used = {}
+    try:
+        for name, fn in queries().items():
+            if name.startswith(
+                ("orc_", "csv_", "json_", "streaming_", "bucketed_")
+            ):
+                continue
+            rec.touched = set()
+            fn(spark, "/root/testdata/sf0.001")
+            used[name] = frozenset(rec.touched)
+    finally:
+        tables_mod._RELATION_CACHE = orig
+    events_only = {n for n, t in used.items() if t == {"events"}}
+    missing = sorted(events_only - set(_EVENT_QUERIES))
+    assert not missing, (
+        f"events-only queries absent from _EVENT_QUERIES (add them so "
+        f"the degenerate-events totality + oracle-agreement harness "
+        f"covers them): {missing}"
     )

@@ -152,6 +152,9 @@ HEAVY = [
     # r08 batch 10 (oracled members)
     "customer_segment_nation_chi2",
     "dedup_prefix_suffix_overlap",
+    # r08 review: oracle rewritten day-diff//7 (DuckDB week-boundary
+    # off-by-one at ISO year-end spans)
+    "events_cohort_retention",
 ]
 
 _Q = queries()
