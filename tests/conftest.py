@@ -27,6 +27,46 @@ def duck():
     con.close()
 
 
+@pytest.fixture(scope="session")
+def table_usage(spark):
+    """query name -> frozenset of tables it loads at plan-construction
+    time. Ground truth for the per-table adversarial-harness
+    completeness contracts (the r08 Gopher overflow escaped because a
+    documents-only query was missing from a manually-curated list).
+    load() resolves orca_spark.tables._RELATION_CACHE at call time, so
+    swapping it for a recording dict intercepts every from-imported
+    reference. Side-effecting-on-build queries are skipped, same as the
+    schema contract (tests/test_registry_contract.py)."""
+    from orca_spark import tables as tables_mod
+    from orca_spark.queries import queries
+
+    class _Recorder(dict):
+        def __init__(self):
+            super().__init__()
+            self.touched = set()
+
+        def get(self, key, default=None):
+            self.touched.add(key[2])
+            return super().get(key, default)
+
+    rec = _Recorder()
+    orig = tables_mod._RELATION_CACHE
+    tables_mod._RELATION_CACHE = rec
+    used = {}
+    try:
+        for name, fn in queries().items():
+            if name.startswith(
+                ("orc_", "csv_", "json_", "streaming_", "bucketed_")
+            ):
+                continue
+            rec.touched = set()
+            fn(spark, SF_DIR)
+            used[name] = frozenset(rec.touched)
+    finally:
+        tables_mod._RELATION_CACHE = orig
+    return used
+
+
 def register_views(con, sf_dir: str) -> None:
     for t in TABLES:
         # adversarial fixtures materialize only the table under test;

@@ -250,42 +250,14 @@ def test_quality_gate_keeps_best_doc_of_small_sources(spark, tmp_path):
     assert by_source["trio"] == {2}  # only its best (6 tokens)
 
 
-def test_doc_queries_list_is_complete(spark):
+def test_doc_queries_list_is_complete(table_usage):
     """_DOC_QUERIES is manually curated, and the r08 Gopher INT32
     overflow escaped to review precisely because a documents-only query
     was left off it. Derive the ground truth instead of trusting the
-    list: record which tables each registered query touches at
-    plan-construction time (load() resolves tables through
-    orca_spark.tables._RELATION_CACHE, a call-time module global), and
-    require every documents-only query to be on the list."""
-    from orca_spark import tables as tables_mod
-
-    class _Recorder(dict):
-        def __init__(self):
-            super().__init__()
-            self.touched = set()
-
-        def get(self, key, default=None):
-            self.touched.add(key[2])
-            return super().get(key, default)
-
-    rec = _Recorder()
-    orig = tables_mod._RELATION_CACHE
-    tables_mod._RELATION_CACHE = rec
-    used = {}
-    try:
-        for name, fn in queries().items():
-            if name.startswith(
-                ("orc_", "csv_", "json_", "streaming_", "bucketed_")
-            ):
-                continue  # side-effecting on build; same skip as the
-                # schema contract (tests/test_registry_contract.py)
-            rec.touched = set()
-            fn(spark, "/root/testdata/sf0.001")
-            used[name] = frozenset(rec.touched)
-    finally:
-        tables_mod._RELATION_CACHE = orig
-    doc_only = {n for n, t in used.items() if t == {"documents"}}
+    list (conftest's table_usage records the tables each query loads at
+    plan-construction time), and require every documents-only query to
+    be on the list."""
+    doc_only = {n for n, t in table_usage.items() if t == {"documents"}}
     missing = sorted(doc_only - set(_DOC_QUERIES))
     assert not missing, (
         f"documents-only queries absent from _DOC_QUERIES (add them so "

@@ -158,41 +158,13 @@ def test_oracle_agreement_over_degenerate_events(spark, duck, nasty_events_dir, 
     )
 
 
-def test_event_queries_list_is_complete(spark):
+def test_event_queries_list_is_complete(table_usage):
     """Same derived contract as the documents harness
-    (test_adversarial_corpus.test_doc_queries_list_is_complete): record
-    which tables each registered query touches at plan-construction
-    time and require every events-only query to be listed here, so the
-    manual-list gap class stays closed. Streaming queries execute on
-    build and are skipped by the recorder — they are listed manually
+    (test_adversarial_corpus.test_doc_queries_list_is_complete), from
+    conftest's shared table_usage recording. Streaming queries execute
+    on build and are skipped by the recorder — they are listed manually
     above and exercised by the totality test."""
-    from orca_spark import tables as tables_mod
-
-    class _Recorder(dict):
-        def __init__(self):
-            super().__init__()
-            self.touched = set()
-
-        def get(self, key, default=None):
-            self.touched.add(key[2])
-            return super().get(key, default)
-
-    rec = _Recorder()
-    orig = tables_mod._RELATION_CACHE
-    tables_mod._RELATION_CACHE = rec
-    used = {}
-    try:
-        for name, fn in queries().items():
-            if name.startswith(
-                ("orc_", "csv_", "json_", "streaming_", "bucketed_")
-            ):
-                continue
-            rec.touched = set()
-            fn(spark, "/root/testdata/sf0.001")
-            used[name] = frozenset(rec.touched)
-    finally:
-        tables_mod._RELATION_CACHE = orig
-    events_only = {n for n, t in used.items() if t == {"events"}}
+    events_only = {n for n, t in table_usage.items() if t == {"events"}}
     missing = sorted(events_only - set(_EVENT_QUERIES))
     assert not missing, (
         f"events-only queries absent from _EVENT_QUERIES (add them so "
