@@ -49,17 +49,35 @@ def cents_half_away(v: float) -> int:
     representable, round(12.5) = 12 but SQL round gives 13 — a real
     driver-hash mismatch class for any Python-side kernel.
 
-    NOT floor(x + 0.5): the addition itself rounds, and one-ulp-below-
-    half values (2.675 * 100 = 267.49999999999997) tie UP to 268.0 in
-    the add while std::round correctly gives 267. Comparing the exact
+    NOT floor(x + 0.5): the addition itself rounds, so one-ulp-below-
+    half values (1.005 * 100 = 100.49999999999999) can tie UP in the
+    add while std::round correctly truncates. Comparing the exact
     fractional part (x - floor(x) is exact for |x| < 2^52) has no such
-    double-rounding."""
+    double-rounding. (2.675 * 100 is EXACTLY 267.5 in binary — the
+    product rounds to the half — so 268 is the correct SQL answer
+    there, duckdb-verified; see test_tws_cents_round_half_away.)
+
+    NaN never reaches this fold: the jobs filter NOT isnan(value) on
+    both the stream and the oracle (int(NaN) raises here; CAST(NaN AS
+    BIGINT) aborts in both engines — the filter is the contract)."""
     x = v * 100.0
     if x >= 0:
         f = math.floor(x)
         return int(f) + (1 if x - f >= 0.5 else 0)
     c = math.ceil(x)
     return int(c) - (1 if c - x >= 0.5 else 0)
+
+
+def cents_half_away_np(values) -> "pd.Series":
+    """Vectorized twin of cents_half_away for Arrow-batched kernels —
+    one implementation site per shape, bit-identical tie behavior."""
+    import numpy as np
+
+    x = np.asarray(values, dtype="float64") * 100.0
+    f, c = np.floor(x), np.ceil(x)
+    return np.where(x >= 0, f + (x - f >= 0.5), c - (c - x >= 0.5)).astype(
+        "int64"
+    )
 
 
 def make_last_k_processor():
@@ -165,12 +183,16 @@ def _final_per_key(out: DataFrame, key_cols: list[str], order_col: str) -> DataF
 def streaming_tws_last_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL contract: a row without an event_id or value cannot enter a
     # last-K-by-id buffer, and a NULL user_id cannot be a TWS grouping
-    # key (jobs11's rule, applied uniformly) — filtered on both sides
+    # key (jobs11's rule, applied uniformly) — filtered on both sides.
+    # NaN too: int(NaN) raises in the Python fold and CAST(NaN AS
+    # BIGINT) aborts in both engines, so NaN money is unrepresentable
+    # in a cents column by contract, not by accident.
     ev = (
         stream_events(spark, sf_dir)
         .where(
             F.col("event_id").isNotNull()
             & F.col("value").isNotNull()
+            & ~F.isnan("value")
             & F.col("user_id").isNotNull()
         )
         .select("user_id", "event_id", "value")
@@ -225,7 +247,7 @@ if tws_available():
                                           ORDER BY event_id DESC) AS rn
                 FROM events
                 WHERE event_id IS NOT NULL AND value IS NOT NULL
-                  AND user_id IS NOT NULL
+                  AND NOT isnan(value) AND user_id IS NOT NULL
             )
             SELECT user_id,
                    CAST(count(*) AS BIGINT)    AS n_kept,

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +33,7 @@ from pyspark.sql import Window as W
 from orca_spark.registry import register
 from orca_spark.streaming.jobs import run_to_memory, stream_events
 from orca_spark.streaming.jobs5 import tws_available
+from orca_spark.streaming.jobs10 import cents_half_away_np
 
 
 def make_timer_flush_processor():
@@ -57,19 +57,10 @@ def make_timer_flush_processor():
                 n += len(pdf)
                 # round PER ROW then sum: 2-dp money is exact per row
                 # (the jobs10 convention); summing doubles first would
-                # reintroduce float accumulation. Half-away-from-zero
-                # ties, NOT pandas .round() (banker's): SQL round() in
-                # both engines gives round(12.5) = 13, .round() gives 12.
-                # Exact-fraction compare, not floor(x + 0.5) — the add
-                # double-rounds one-ulp-below-half values (jobs10's
-                # cents_half_away documents the 2.675 case).
-                x = pdf["value"].to_numpy(dtype="float64") * 100.0
-                f, c = np.floor(x), np.ceil(x)
-                cents += int(
-                    np.where(x >= 0, f + (x - f >= 0.5), c - (c - x >= 0.5))
-                    .astype("int64")
-                    .sum()
-                )
+                # reintroduce float accumulation. SQL-tie rounding via
+                # the shared helper (pandas .round() is banker's and
+                # diverges on exact halves; see jobs10.cents_half_away).
+                cents += int(cents_half_away_np(pdf["value"]).sum())
             self._agg.update((n, cents))
             # an already-expired expiry: fires on the next watermark
             # advance — i.e. the final timer micro-batch of a bounded
@@ -92,14 +83,17 @@ def make_timer_flush_processor():
 
 
 def streaming_tws_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL contract: value participates in the cents fold, user_id NULL
-    # keys cannot group in TWS, and the watermark drops NULL event
-    # times (jobs.py:86's invariant) — ALL THREE filtered on both
-    # sides so neither engine's implicit drop behavior is load-bearing
+    # NULL contract: value participates in the cents fold (NaN money is
+    # unrepresentable — int(NaN) raises, CAST(NaN AS BIGINT) aborts in
+    # both engines), user_id NULL keys cannot group in TWS, and the
+    # watermark drops NULL event times (jobs.py:86's invariant) — ALL
+    # filtered on both sides so neither engine's implicit drop behavior
+    # is load-bearing
     ev = (
         stream_events(spark, sf_dir)
         .where(
             F.col("value").isNotNull()
+            & ~F.isnan("value")
             & F.col("user_id").isNotNull()
             & F.col("ts").isNotNull()
         )
@@ -130,8 +124,8 @@ if tws_available():
                    CAST(sum(CAST(round(value * 100) AS BIGINT))
                         AS BIGINT) AS cents_total
             FROM events
-            WHERE value IS NOT NULL AND user_id IS NOT NULL
-              AND ts IS NOT NULL
+            WHERE value IS NOT NULL AND NOT isnan(value)
+              AND user_id IS NOT NULL AND ts IS NOT NULL
             GROUP BY user_id
         """,
         description="transformWithStateInPandas EVENT-TIME TIMERS: the "

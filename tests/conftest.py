@@ -13,6 +13,14 @@ from orca_spark.tables import TABLES  # noqa: E402
 SF_DIR = os.environ.get("ORCA_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("ORCA_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
+# queries whose *builders* run jobs/writes eagerly (streaming drains,
+# format sinks) — skipped wherever every plan is constructed blindly
+# (the schema contract and the table_usage recorder). Shared constant
+# so the two sites cannot drift. NOTE: the *_roundtrip operators also
+# write on build but stay included deliberately — their construction IS
+# the operator under test and they are cheap at sf0.001.
+SIDE_EFFECTING_PREFIXES = ("orc_", "csv_", "json_", "streaming_", "bucketed_")
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -35,7 +43,7 @@ def table_usage(spark):
     documents-only query was missing from a manually-curated list).
     load() resolves orca_spark.tables._RELATION_CACHE at call time, so
     swapping it for a recording dict intercepts every from-imported
-    reference. Side-effecting-on-build queries are skipped, same as the
+    reference. SIDE_EFFECTING_PREFIXES queries are skipped, same as the
     schema contract (tests/test_registry_contract.py)."""
     from orca_spark import tables as tables_mod
     from orca_spark.queries import queries
@@ -55,9 +63,7 @@ def table_usage(spark):
     used = {}
     try:
         for name, fn in queries().items():
-            if name.startswith(
-                ("orc_", "csv_", "json_", "streaming_", "bucketed_")
-            ):
+            if name.startswith(SIDE_EFFECTING_PREFIXES):
                 continue
             rec.touched = set()
             fn(spark, SF_DIR)

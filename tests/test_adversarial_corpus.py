@@ -159,6 +159,10 @@ _DOC_QUERIES = [
     "text_top_terms_per_lang",
     "text_zipf_exponent",
     "xml_source_roundtrip",
+    # r08 review: documents-driven streaming job (the recorder skips
+    # streaming_, so the derived contract cannot see it; placed here by
+    # test_adversarial_events.test_streaming_queries_are_placed)
+    "streaming_pysource_jsonl_ingest",
 ]
 
 

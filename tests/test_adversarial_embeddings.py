@@ -117,9 +117,12 @@ def degenerate_vec_dir(tmp_path_factory):
 def test_query_total_over_degenerate_embeddings(spark, degenerate_vec_dir, name):
     """Zero-norm / extreme-magnitude vectors must not abort any
     embeddings query (NaN or exclusion are both acceptable; a crash or
-    an ANSI abort is not)."""
-    df = queries()[name](spark, degenerate_vec_dir)
-    assert df.count() >= 0  # must not raise
+    an ANSI abort is not). collect(), NOT count(): count() would let
+    Catalyst prune the projected similarity/norm expressions this lane
+    exists to crash-test, and this non-oracled family has no
+    value-compare lane backing it up."""
+    rows = queries()[name](spark, degenerate_vec_dir).collect()
+    assert len(rows) >= 0  # must not raise
 
 
 def test_emb_queries_list_is_complete(table_usage):

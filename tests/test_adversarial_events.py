@@ -97,6 +97,18 @@ _EVENT_QUERIES = [
     "scalar_regex_extract",
     "skew_salted_aggregate",
     "sql_recursive_type_paths",
+    # r08 review: the events-only STREAMING jobs the totality lane was
+    # missing (the recorder skips streaming_ so the derived contract
+    # cannot see them; test_streaming_queries_are_placed pins the full
+    # streaming namespace statically instead)
+    "streaming_tws_user_running_max",
+    "streaming_tws_last_k_events",
+    "streaming_tws_type_counts",
+    "streaming_tws_timer_flush",
+    "streaming_dedup_within_watermark",
+    "streaming_sliding_window_counts",
+    "streaming_upsert_snapshot",
+    "streaming_foreach_batch_orc",
 ]
 
 
@@ -155,6 +167,27 @@ def test_oracle_agreement_over_degenerate_events(spark, duck, nasty_events_dir, 
     divergences sit latent."""
     compare_query(
         spark, duck, queries()[name], oracle_sql()[name], nasty_events_dir
+    )
+
+
+def test_streaming_queries_are_placed():
+    """The table-usage recorder skips streaming_ queries (they execute
+    on build), so the derived contracts cannot see them — pin the whole
+    streaming namespace statically: every registered streaming query
+    must be in an adversarial totality lane (here or the documents
+    harness) or in the documented multi-table exception."""
+    from tests.test_adversarial_corpus import _DOC_QUERIES
+
+    # events + broadcast customer dim: the nasty single-table corpora
+    # cannot serve it; its oracle runs in the full-schema degenerate
+    # gate (tests/test_adversarial_full.py)
+    multi_table = {"streaming_static_join"}
+    streaming = {n for n in queries() if n.startswith("streaming_")}
+    unplaced = sorted(
+        streaming - set(_EVENT_QUERIES) - set(_DOC_QUERIES) - multi_table
+    )
+    assert not unplaced, (
+        f"streaming queries in no adversarial lane: {unplaced}"
     )
 
 

@@ -206,6 +206,14 @@ def test_tws_cents_round_half_away_from_zero_like_sql():
     assert cents_half_away(2.675) == 268
     assert cents_half_away(1.005) == 100
 
+    # the vectorized twin (jobs11's kernel path) must stay bit-identical
+    from orca_spark.streaming.jobs10 import cents_half_away_np
+
+    probe = [0.125, -0.125, 0.124, 2.675, 1.005, -7.25, 0.0, 1e10, -1e10]
+    assert list(cents_half_away_np(probe)) == [
+        cents_half_away(v) for v in probe
+    ]
+
     proc = make_last_k_processor()
     proc.init(_FakeHandle())
     b = pd.DataFrame({"event_id": [1], "value": [0.125]})

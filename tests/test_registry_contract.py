@@ -95,8 +95,10 @@ def test_query_schemas_have_unique_sortable_columns(spark):
     canonicalizer outright — the round-6 embedding_whitening red row was
     exactly this class (`TypeError: unhashable type: 'list'`). Check the
     plan schema without executing."""
+    from tests.conftest import SIDE_EFFECTING_PREFIXES
+
     for name, spec in REGISTRY.items():
-        if name.startswith(("orc_", "csv_", "json_", "streaming_", "bucketed_")):
+        if name.startswith(SIDE_EFFECTING_PREFIXES):
             continue  # side-effecting queries execute on build; covered by oracle tests
         df = spec.fn(spark, "/root/testdata/sf0.001")
         cols = df.columns
