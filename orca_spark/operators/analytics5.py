@@ -53,6 +53,11 @@ _EXP_CASE = "CASE digit " + " ".join(
         digits AS (
             SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
             FROM cents
+            -- a sub-cent positive amount rounds to c = 0, whose leading
+            -- "digit" is 0 — outside Benford's 1-9 domain (the CASE
+            -- would emit NULL exp_ppm and break the all-BIGINT
+            -- contract); exclude it in BOTH engines
+            WHERE c >= 1
         ),
         counts AS (
             SELECT digit, CAST(count(*) AS BIGINT) AS n
@@ -84,7 +89,9 @@ def orders_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
         )
     )
-    digits = cents.select(
+    # c >= 1 mirrors the oracle: sub-cent positives round to c = 0,
+    # whose leading "digit" 0 is outside Benford's 1-9 domain
+    digits = cents.where(F.col("c") >= 1).select(
         F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))

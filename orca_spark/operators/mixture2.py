@@ -26,12 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from orca_spark.operators.packing import _N_TOKENS_SQL
 from orca_spark.registry import register
 from orca_spark.tables import load
 
-_N_TOKENS_SQL = (
-    "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
-)
 
 @register(
     "corpus_sqrt_mix_weights",
@@ -64,8 +62,16 @@ _N_TOKENS_SQL = (
             FROM cand
         )
         SELECT lang, source, n_docs, n_tokens, root,
-               CAST(root * 1000000 // sum(root) OVER (PARTITION BY lang)
-                    AS BIGINT) AS weight_ppm
+               -- zero-mass language (every doc tokenizes empty): no
+               -- samplable mass, weight is explicitly NULL in BOTH
+               -- engines (DuckDB's // 0 happens to yield NULL already,
+               -- but Spark's ANSI div would RAISE — the contract must
+               -- be spelled out, not inherited from either engine)
+               CAST(CASE WHEN sum(root) OVER (PARTITION BY lang) = 0
+                         THEN NULL
+                         ELSE root * 1000000
+                              // sum(root) OVER (PARTITION BY lang)
+                    END AS BIGINT) AS weight_ppm
         FROM rooted
     """,
     description="alpha=0.5 temperature-sampling weights per (lang, "
@@ -74,7 +80,9 @@ _N_TOKENS_SQL = (
     "languages and lifts tail ones; sqrt is EXACT integer sqrt "
     "(floor-of-double candidate, integer-verified ±1 correction) and "
     "the normalization is BIGINT ppm division, so the manifest is "
-    "cross-engine hash-exact with no float sum anywhere; one "
+    "cross-engine hash-exact with no float sum anywhere; a zero-mass "
+    "language (every doc tokenizes empty) gets an explicit NULL weight "
+    "in both engines rather than an ANSI divide-by-zero; one "
     "map-side-combinable aggregate, model-sized output",
 )
 def corpus_sqrt_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,5 +126,12 @@ def corpus_sqrt_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         "root",
-        F.expr("_num div _den").cast("long").alias("weight_ppm"),
+        # zero-mass language: NULL weight, mirrored in the oracle. The
+        # guard must come FIRST — ANSI div raises DIVIDE_BY_ZERO, and
+        # CASE short-circuits so the division never evaluates on the
+        # _den = 0 rows.
+        F.when(F.col("_den") == 0, F.lit(None))
+        .otherwise(F.expr("_num div _den"))
+        .cast("long")
+        .alias("weight_ppm"),
     )

@@ -102,13 +102,14 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
     lines = F.split("text", "\n")
-    joined = F.array_join(F.filter(F.split("text", " "), lambda t: t != F.lit("")), "")
+    # tok_chars derives from the already-computed toks column in a
+    # second select — tokenizing once per row, not twice (split+filter
+    # dominates this scan-bound operator on web-scale docs)
     base = docs.select(
         "doc_id",
         toks.alias("toks"),
         lines.alias("lines"),
-        F.length(joined).alias("tok_chars"),
-    )
+    ).withColumn("tok_chars", F.length(F.array_join(F.col("toks"), "")))
     m = base.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_words"),

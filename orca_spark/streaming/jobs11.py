@@ -28,12 +28,11 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from orca_spark.registry import register
 from orca_spark.streaming.jobs import run_to_memory, stream_events
 from orca_spark.streaming.jobs5 import tws_available
-from orca_spark.streaming.jobs10 import cents_half_away_np
+from orca_spark.streaming.jobs10 import _final_per_key, cents_half_away_np
 
 
 def make_timer_flush_processor():
@@ -107,11 +106,8 @@ def streaming_tws_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="EventTime",
     )
     out = run_to_memory(updated, "update")
-    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("user_id", "n_events", "cents_total")
+    return _final_per_key(out, ["user_id"], "n_events").select(
+        "user_id", "n_events", "cents_total"
     )
 
 

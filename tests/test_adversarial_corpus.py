@@ -169,12 +169,21 @@ _DOC_QUERIES = [
 @pytest.fixture(scope="module")
 def nasty_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("nasty_sf")
+    # a ZERO-MASS language: every 'xx' doc tokenizes to zero tokens, so
+    # any per-language normalization (sum of roots, token shares, ppm
+    # divisions) sees a 0 denominator for 'xx' — the class behind the
+    # corpus_sqrt_mix_weights ANSI divide-by-zero found in r08 review
+    # (the en-only fixture could never produce it: en always has
+    # token-bearing docs to carry the partition sum)
+    zero_mass = ["", " ", "  "]
+    texts = _NASTY_TEXTS + zero_mass
+    langs = ["en"] * len(_NASTY_TEXTS) + ["xx"] * len(zero_mass)
     rows = {
-        "doc_id": list(range(len(_NASTY_TEXTS))),
-        "text": _NASTY_TEXTS,
-        "lang": ["en"] * len(_NASTY_TEXTS),
-        "source": ["src0"] * len(_NASTY_TEXTS),
-        "n_chars": [len(t) if t else 0 for t in _NASTY_TEXTS],
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": langs,
+        "source": ["src0"] * len(texts),
+        "n_chars": [len(t) if t else 0 for t in texts],
     }
     table = pa.table(
         {

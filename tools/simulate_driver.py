@@ -46,7 +46,12 @@ def main() -> int:
                 compare_query(spark, con, q[name], o[name], sf_dir)
                 status = "HASH-GREEN"
             else:
-                rows = q[name](spark, sf_dir).count()
+                # collect(), NOT count(): count() lets Catalyst prune the
+                # projected expressions, so a query whose output column
+                # ANSI-aborts at evaluation would pass here yet fail the
+                # real driver, which materializes values (same pruning
+                # hazard tests/test_adversarial_embeddings.py documents)
+                rows = len(q[name](spark, sf_dir).collect())
                 status = f"ROWS-ONLY ({rows} rows)"
         except Exception as exc:  # noqa: BLE001
             status = f"FAIL: {exc}"
