@@ -184,6 +184,14 @@ def main() -> None:
         # (2.4s cold -> 0.6s steady, code untouched since r06) — extra
         # runs so the median reads steady state, not JIT
         "ivm_incremental_agg": runs_per_query + 4,
+        # r08: the pair-scoring stage restructure (one 64-term dot chain
+        # per codegen stage — see similarity2.ivf_near_dup_pairs) moved
+        # the query from permanently-interpreted (~13 s flat) to
+        # JIT-compiled (~1.4 s steady), but run 0 now pays C2 compiling
+        # the huge generated method (~12 s). Extra runs so the median
+        # reads the compiled steady state a deployment runs in; the
+        # spread keeps the warmup cost visible.
+        "embedding_near_dup_pairs_ivf": runs_per_query + 4,
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

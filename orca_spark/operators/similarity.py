@@ -293,16 +293,29 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.sparkSession.sparkContext.defaultParallelism * 2, "vec_id"
     ).alias("a")
     b = emb.alias("b")
+    # Threshold inside the join condition, rescore AFTER a stage
+    # barrier: fusing the 64-term dot chain into one generated method
+    # twice (condition + output projection) crosses janino's hard 64 KB
+    # method cap and Spark silently runs the stage interpreted —
+    # measured 10× slower on the O(n²) scan at sf0.1. Same pattern and
+    # measurement as similarity2.ivf_near_dup_pairs; the rescore pass
+    # touches survivors only.
     raw = dot("a.e", "b.e", validated=True) / (F.col("a.n") * F.col("b.n"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    survivors = (
+        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id")) & (raw >= 0.4))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            raw.alias("raw"),
+            F.col("a.e").alias("ea"),
+            F.col("b.e").alias("eb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
-        .where(F.col("raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("raw", 4).alias("cosine"))
+        .repartition("vec_a")  # codegen stage barrier, survivor-sized
+    )
+    rescore = dot("ea", "eb", validated=True) / (F.col("na") * F.col("nb"))
+    return survivors.select(
+        "vec_a", "vec_b", F.round(rescore, 4).alias("cosine")
     )
 
 

@@ -69,12 +69,6 @@ def ivf_near_dup_pairs(
     corpus in tests/test_similarity.py).
     """
     cents = kmeans_centroids(emb, cache_key=cache_key, k=k)
-    # materialize the assignment table (the index-build step a real
-    # pipeline persists once): the self-join below would otherwise
-    # evaluate the ~10-centroid argmin expression on both sides.
-    # Repartition first — the source parquet arrives as one split at
-    # test scale and the argmin must run wide, not on a single core.
-    #
     # Pruning honesty (measured at sf0.1): THIS corpus is near-uniform
     # (max pairwise cosine ≈ 0.5), so cluster buckets at nprobe=3 keep
     # ~82% of all pairs as candidates — the exact-scoring stage, not the
@@ -84,16 +78,54 @@ def ivf_near_dup_pairs(
     # same plan prunes ~k-fold; the plan shape is the 100 TB shape.
     from orca_spark.tables import widen
 
-    assigned = (
-        _with_norm(
-            ivf_assign(widen(emb), cents, nprobe=nprobe),
-            "n",
+    assigned = _with_norm(
+        ivf_assign(widen(emb), cents, nprobe=nprobe),
+        "n",
+    ).select("vec_id", "e", "n", "clusters")
+    # exactly-once emission WITHOUT a dedup shuffle: a pair sharing
+    # several probed clusters is scored only in the SMALLEST shared one.
+    # The once-test runs per CANDIDATE ORIENTATION (n_c² per bucket —
+    # the hottest expression in the whole query), so for k <= 64 the
+    # membership set rides as a BIGINT bitmask computed once per row:
+    # smallest shared cluster == lowest set bit of (mask_a & mask_b),
+    # three integer ops per pair. The array_intersect/array_min form it
+    # replaces allocated two arrays per pair — measured 1.5-2x of the
+    # whole query's wall time at sf0.1. Bit position IS the cluster id,
+    # so the semantics are identical; k > 64 keeps the array form (the
+    # registered queries size k ≈ √n with nprobe fixed, so the mask
+    # path is the one that runs until k outgrows a machine word).
+    use_mask = len(cents) <= 64
+    if use_mask:
+        assigned = assigned.withColumn(
+            "cmask",
+            F.expr(
+                "aggregate(clusters, CAST(0 AS BIGINT),"
+                " (m, c) -> m | shiftleft(CAST(1 AS BIGINT), c))"
+            ),
         )
-        .select("vec_id", "e", "n", "clusters")
-        .localCheckpoint(eager=True)
-    )
+        once = F.expr(
+            "shiftleft(CAST(1 AS BIGINT), a.c)"
+            " = ((a.cmask & b.cmask) & -(a.cmask & b.cmask))"
+        )
+    else:
+        once = F.col("a.c") == F.array_min(
+            F.array_intersect(F.col("a.clusters"), F.col("b.clusters"))
+        )
+    # materialize the assignment table (the index-build step a real
+    # pipeline persists once): the self-join below would otherwise
+    # evaluate the ~k-centroid argmin expression on both sides. The
+    # widen() inside ivf_assign already spread the argmin over the
+    # executors (the source parquet arrives as one split at test scale).
+    assigned = assigned.localCheckpoint(eager=True)
+    # the mask path carries ONLY the 8-byte mask through the join — the
+    # clusters array is consumed by the explode and dropped, slimming
+    # every candidate row the bucket join materializes
     keyed = assigned.select(
-        "vec_id", "e", "n", "clusters", F.explode("clusters").alias("c")
+        "vec_id",
+        "e",
+        "n",
+        *(["cmask"] if use_mask else ["clusters"]),
+        F.explode("clusters").alias("c"),
     )
     # spread the probe side over the executors BEFORE the bucket join:
     # its cost is the (join output × scoring) expansion, and without an
@@ -103,28 +135,39 @@ def ivf_near_dup_pairs(
         max(assigned.sparkSession.sparkContext.defaultParallelism * 2, 16), "vec_id"
     )
     a, b = spread.alias("a"), keyed.alias("b")
-    # exactly-once emission WITHOUT a dedup shuffle: a pair sharing
-    # several probed clusters is scored only in the SMALLEST shared one.
-    # Everything after the bucket join is pipelined (filter + score) —
-    # candidate rows never hit a second shuffle, which at this fan-in
-    # (nprobe² / k of all pairs) is the dominant cost
-    once = F.col("a.c") == F.array_min(
-        F.array_intersect(F.col("a.clusters"), F.col("b.clusters"))
-    )
+    # The candidate scan (threshold INSIDE the join condition, where
+    # Catalyst pushes it anyway) and the survivor scoring are kept in
+    # SEPARATE codegen stages, split by the repartition barrier below.
+    # Fusing them puts the 64-term dot chain in the stage's generated
+    # method TWICE (condition + output projection), which crosses
+    # janino's hard 64 KB method limit — Spark then silently executes
+    # the WHOLE stage interpreted, measured 60× slower on the candidate
+    # loop at sf0.1 (12 s vs 0.2 s; spark.sql.codegen.hugeMethodLimit
+    # cannot help, the classfile format itself is the cap). The rescore
+    # pass re-evaluates the dot only for SURVIVORS (output-sized, the
+    # near-dup pairs themselves), and the barrier shuffles survivor
+    # rows only — at any scale that is the cheapest stage of the query.
     raw = dot("a.e", "b.e", validated=True) / (F.col("a.n") * F.col("b.n"))
-    return (
+    survivors = (
         a.join(
             b,
             (F.col("a.c") == F.col("b.c")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(once)
+        .where(raw >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            raw.alias("raw"),
+            F.col("a.e").alias("ea"),
+            F.col("b.e").alias("eb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
-        .where(F.col("raw") >= threshold)
-        .select("vec_a", "vec_b", F.round("raw", 4).alias("cosine"))
+        .repartition("vec_a")  # stage barrier: see codegen note above
+    )
+    rescore = dot("ea", "eb", validated=True) / (F.col("na") * F.col("nb"))
+    return survivors.select(
+        "vec_a", "vec_b", F.round(rescore, 4).alias("cosine")
     )
 
 

@@ -39,6 +39,16 @@ def get_spark(app_name: str = "orca_spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # wide-expression codegen (the 64-term dot-product chains, the
+        # k×dim argmin structs, PQ ADC tables) generates eval methods
+        # past HotSpot's HugeMethodLimit (8 KB bytecode), which the JIT
+        # then refuses to compile — the whole pair-scoring join runs in
+        # the bytecode INTERPRETER, measured 15× slower at sf0.1
+        # (embedding_near_dup_pairs_ivf: 13.1 s → 0.9 s steady-state).
+        # Standard deployment tuning for codegen-heavy Spark; local
+        # mode only needs the driver flag (executors share the JVM) —
+        # a cluster deploy sets spark.executor.extraJavaOptions too.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.orc.enableVectorizedReader", "true")
         # RocksDB state store: the production setting for streaming at
