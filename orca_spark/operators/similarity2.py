@@ -85,16 +85,21 @@ def ivf_near_dup_pairs(
     # exactly-once emission WITHOUT a dedup shuffle: a pair sharing
     # several probed clusters is scored only in the SMALLEST shared one.
     # The once-test runs per CANDIDATE ORIENTATION (n_c² per bucket —
-    # the hottest expression in the whole query), so for k <= 64 the
+    # the hottest expression in the whole query), so for small k the
     # membership set rides as a BIGINT bitmask computed once per row:
-    # smallest shared cluster == lowest set bit of (mask_a & mask_b),
-    # three integer ops per pair. The array_intersect/array_min form it
-    # replaces allocated two arrays per pair — measured 1.5-2x of the
-    # whole query's wall time at sf0.1. Bit position IS the cluster id,
-    # so the semantics are identical; k > 64 keeps the array form (the
-    # registered queries size k ≈ √n with nprobe fixed, so the mask
-    # path is the one that runs until k outgrows a machine word).
-    use_mask = len(cents) <= 64
+    # c is the smallest shared cluster iff (mask_a & mask_b) has no bit
+    # below bit c — three integer ops per pair. The array_intersect/
+    # array_min form it replaces allocated two arrays per pair. Bit
+    # position IS the cluster id, so the semantics are identical;
+    # larger k keeps the array form (the registered queries size
+    # k ≈ √n with nprobe fixed, so the mask path is the one that runs
+    # until k outgrows a machine word).
+    # k <= 63, not 64: cluster id 63 would set the sign bit, and the
+    # classic lowest-set-bit idiom (x & -x) ANSI-overflows when x is
+    # exactly Long.MIN — the "no shared bit BELOW c" form used here
+    # needs shiftleft(1, c) - 1, which itself overflows at c = 63.
+    # Capping at 63 keeps every intermediate positive under ANSI.
+    use_mask = len(cents) <= 63
     if use_mask:
         assigned = assigned.withColumn(
             "cmask",
@@ -103,9 +108,12 @@ def ivf_near_dup_pairs(
                 " (m, c) -> m | shiftleft(CAST(1 AS BIGINT), c))"
             ),
         )
+        # c is the SMALLEST shared cluster iff no shared bit lies
+        # strictly below bit c (bit c itself is shared by the join's
+        # a.c = b.c equality); shiftleft(1, c) - 1 masks the bits below
         once = F.expr(
-            "shiftleft(CAST(1 AS BIGINT), a.c)"
-            " = ((a.cmask & b.cmask) & -(a.cmask & b.cmask))"
+            "((a.cmask & b.cmask)"
+            " & (shiftleft(CAST(1 AS BIGINT), a.c) - 1)) = 0"
         )
     else:
         once = F.col("a.c") == F.array_min(

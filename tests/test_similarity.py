@@ -439,3 +439,43 @@ def test_gram_salting_bounds_batch_and_preserves_pairs(spark, skewed_dir):
     blk_max = blocks.agg(F.max("count")).collect()[0][0]
     bound = int(2 * g_max / SALT * 1.4)  # 40% slack for hash imbalance
     assert blk_max <= bound, (blk_max, g_max, bound)
+
+
+# ---------------------------------------------------------------------------
+# exactly-once bitmask: semantic identity with the array form, at the
+# ANSI boundary bits (the mask path replaces array_intersect/array_min
+# in ivf_near_dup_pairs — see the codegen note there)
+# ---------------------------------------------------------------------------
+
+
+def test_mask_once_matches_array_min_at_boundary_bits(spark):
+    """For every pair of 2-cluster membership sets over boundary ids
+    (0, 1, 30, 31, 61, 62 — 62 is the largest id the k <= 63 guard
+    admits) and every shared cluster c, the bitmask no-shared-bit-below-c
+    test must equal (c == min(intersection)), and must evaluate without
+    ANSI overflow at the top bit."""
+    import itertools
+
+    ids = [0, 1, 30, 31, 61, 62]
+    sets = [list(s) for s in itertools.combinations(ids, 2)]
+    rows = []
+    for sa in sets:
+        for sb in sets:
+            inter = sorted(set(sa) & set(sb))
+            for c in inter:
+                rows.append((sa, sb, c, c == inter[0]))
+    assert rows
+    df = spark.createDataFrame(
+        rows, "ca array<int>, cb array<int>, c int, want boolean"
+    )
+    mask = (
+        "aggregate({0}, CAST(0 AS BIGINT),"
+        " (m, x) -> m | shiftleft(CAST(1 AS BIGINT), x))"
+    )
+    got = df.selectExpr(
+        "want",
+        f"(({mask.format('ca')} & {mask.format('cb')})"
+        " & (shiftleft(CAST(1 AS BIGINT), c) - 1)) = 0 AS got",
+    ).collect()
+    for r in got:
+        assert r.got == r.want
