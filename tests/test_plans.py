@@ -633,3 +633,27 @@ def test_audio_video_kernels_are_arrow_batched_maps(spark):
         assert "MapInPandas" in p, name
         assert "BatchEvalPython" not in p, name
         assert "Exchange" not in p, name
+
+
+def test_pair_scan_scoring_is_stage_split(spark):
+    """The embedding pair scans must keep the 64-term dot chain in ONE
+    codegen stage each: threshold inside the join, rescore behind a
+    survivor-sized exchange. Fusing them puts the chain in the stage's
+    generated method twice, crossing janino's hard 64 KB method cap —
+    Spark then silently runs the whole candidate loop interpreted
+    (measured 10-20x at sf0.1; see similarity2.ivf_near_dup_pairs).
+    The barrier is the structural witness: an Exchange must sit between
+    the pair join and the final cosine projection."""
+    for name in ["embedding_near_dup_pairs", "embedding_near_dup_pairs_ivf"]:
+        p = plan_str(spark, name)
+        # the barrier partitions by the survivor key (detail section)
+        assert "hashpartitioning(vec_a" in p, (
+            f"{name}: survivor-rescore exchange missing — the dot chain "
+            "is fused back into the join stage"
+        )
+        # and in the tree (parents print first) an Exchange sits ABOVE
+        # the pair join: tree lines end where the per-node details begin
+        tree = p.split("\n(1)")[0].splitlines()
+        ex = next(i for i, l in enumerate(tree) if "Exchange" in l)
+        jn = next(i for i, l in enumerate(tree) if "Join" in l)
+        assert ex < jn, f"{name}: rescore exchange not above the join"
