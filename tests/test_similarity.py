@@ -479,3 +479,33 @@ def test_mask_once_matches_array_min_at_boundary_bits(spark):
     ).collect()
     for r in got:
         assert r.got == r.want
+
+
+def test_ivf_array_once_path_above_mask_limit(spark, clustered_dir):
+    """k > 63 switches the exactly-once filter to the array_intersect
+    form (cluster ids no longer fit a BIGINT mask) — the branch a real
+    k ~ sqrt(n) deployment runs. It must flow through the same
+    survivor-rescore structure and still recover the planted twins."""
+    import numpy as np
+
+    from orca_spark.operators.similarity import load_embeddings
+    from orca_spark.operators.similarity2 import ivf_near_dup_pairs
+
+    d, x = clustered_dir
+    emb = load_embeddings(spark, d)
+    found_rows = ivf_near_dup_pairs(
+        emb, threshold=CLUSTER_THRESHOLD, nprobe=2, k=70
+    ).collect()
+    found = {(int(r.vec_a), int(r.vec_b)) for r in found_rows}
+    # the planted twin pairs (base b, twin 480+b) are 0.001-sigma apart
+    # — cosine far above the threshold; with 70 clusters over 16 true
+    # modes a twin can straddle a quantizer boundary, so assert a floor
+    twins = {(b, N_CLUSTERS * PER_CLUSTER + b) for b in range(N_TWINS)}
+    recall = len(found & twins) / len(twins)
+    assert recall >= 0.9, f"twin recall {recall:.2f} on the array path"
+    # precision: nothing below the threshold (minus last-ulp slack)
+    x64 = x.astype(np.float64)
+    nrm = np.linalg.norm(x64, axis=1)
+    for va, vb in found:
+        cos = float(x64[va] @ x64[vb] / (nrm[va] * nrm[vb]))
+        assert cos >= CLUSTER_THRESHOLD - 1e-4, (va, vb, cos)
