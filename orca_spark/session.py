@@ -46,9 +46,11 @@ def get_spark(app_name: str = "orca_spark", cpus: int | None = None) -> SparkSes
         # the bytecode INTERPRETER, measured 15× slower at sf0.1
         # (embedding_near_dup_pairs_ivf: 13.1 s → 0.9 s steady-state).
         # Standard deployment tuning for codegen-heavy Spark; local
-        # mode only needs the driver flag (executors share the JVM) —
-        # a cluster deploy sets spark.executor.extraJavaOptions too.
+        # mode runs tasks in the driver JVM (the executor twin below is
+        # inert here but makes a cluster submit of the same factory
+        # inherit the behavior).
         .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.orc.enableVectorizedReader", "true")
         # RocksDB state store: the production setting for streaming at
