@@ -72,7 +72,34 @@ def get_spark(app_name: str = "orca_spark", cpus: int | None = None) -> SparkSes
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warn_if_jit_flag_missing(spark)
     return spark
+
+
+def _warn_if_jit_flag_missing(spark: SparkSession) -> None:
+    """extraJavaOptions only takes effect when this factory launches the
+    first JVM in the process; if getOrCreate reused a SparkContext from
+    another entry point the flag is silently absent and the wide-chain
+    pair scans quietly run 10-20x slower (interpreted). Make that state
+    visible: check the live JVM's input arguments and warn once."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+        args = [str(a) for a in mf.getRuntimeMXBean().getInputArguments()]
+        if "-XX:-DontCompileHugeMethods" not in args:
+            import warnings
+
+            warnings.warn(
+                "SparkContext was created before orca_spark.session.get_spark "
+                "ran: -XX:-DontCompileHugeMethods is NOT set on this JVM, so "
+                "codegen-heavy pair scans (embedding_near_dup_pairs*) will run "
+                "interpreted, ~10-20x slower. Launch the session through "
+                "get_spark first, or add the flag to "
+                "spark.driver/executor.extraJavaOptions.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    except Exception:  # py4j surface varies across builds; advisory only
+        pass
 
 
 def configure_session(spark: SparkSession) -> SparkSession:

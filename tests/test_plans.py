@@ -654,6 +654,8 @@ def test_pair_scan_scoring_is_stage_split(spark):
         # and in the tree (parents print first) an Exchange sits ABOVE
         # the pair join: tree lines end where the per-node details begin
         tree = p.split("\n(1)")[0].splitlines()
-        ex = next(i for i, l in enumerate(tree) if "Exchange" in l)
-        jn = next(i for i, l in enumerate(tree) if "Join" in l)
+        ex = next((i for i, l in enumerate(tree) if "Exchange" in l), None)
+        jn = next((i for i, l in enumerate(tree) if "Join" in l), None)
+        assert ex is not None, f"{name}: no Exchange in the plan tree"
+        assert jn is not None, f"{name}: no Join in the plan tree"
         assert ex < jn, f"{name}: rescore exchange not above the join"

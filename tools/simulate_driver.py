@@ -46,12 +46,15 @@ def main() -> int:
                 compare_query(spark, con, q[name], o[name], sf_dir)
                 status = "HASH-GREEN"
             else:
-                # collect(), NOT count(): count() lets Catalyst prune the
-                # projected expressions, so a query whose output column
-                # ANSI-aborts at evaluation would pass here yet fail the
-                # real driver, which materializes values (same pruning
-                # hazard tests/test_adversarial_embeddings.py documents)
-                rows = len(q[name](spark, sf_dir).collect())
+                # toLocalIterator(), NOT count(): count() lets Catalyst
+                # prune the projected expressions, so a query whose output
+                # column ANSI-aborts at evaluation would pass here yet fail
+                # the real driver, which materializes values (same pruning
+                # hazard tests/test_adversarial_embeddings.py documents).
+                # And NOT collect(): full evaluation must not require the
+                # whole result to fit in driver memory — streaming the rows
+                # keeps the anti-pruning intent at any output size.
+                rows = sum(1 for _ in q[name](spark, sf_dir).toLocalIterator())
                 status = f"ROWS-ONLY ({rows} rows)"
         except Exception as exc:  # noqa: BLE001
             status = f"FAIL: {exc}"
