@@ -103,8 +103,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # unify integer dtypes (duckdb int32 vs spark int64 for casts we align
-    # explicitly; leave floats alone so precision bugs surface)
+    # normalize WIDTHS only, never families: DuckDB returns int32/int8
+    # where Spark returns int64 for values the driver hashes identically
+    # (both render as 5), and float32 vs float64 of an exactly-
+    # representable value likewise — widen both engines to the 8-byte
+    # form so compare_query can run a strict dtype compare and any
+    # remaining difference (int vs float: 5 vs 5.0) fails loudly
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k in ("i", "u") and df[c].dtype != "int64":
+            df[c] = df[c].astype("int64")
+        elif k == "f" and df[c].dtype != "float64":
+            df[c] = df[c].astype("float64")
     return df.reset_index(drop=True)
 
 
@@ -125,13 +135,12 @@ def compare_query(spark, duck_con, fn, oracle: str, sf_dir: str) -> None:
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-    # Values equal is not enough: the driver hashes VALUES, and pandas
-    # renders 5 (int64) and 5.0 (float64) differently, so an oracle whose
-    # DuckDB dtype drifts to float (HUGEINT window sums, `//` on widened
-    # ints, DECIMAL division) passes a check_dtype=False compare locally
-    # yet fails the driver hash (the corpus_sequence_pack r07 red row).
-    # Catch the class here: the dtype FAMILY must match per column.
+    # Family pre-check first, for the readable message: the driver hashes
+    # VALUES, and pandas renders 5 (int64) and 5.0 (float64) differently,
+    # so an oracle whose DuckDB dtype drifts to float (HUGEINT window
+    # sums, `//` on widened ints, DECIMAL division) used to pass a
+    # check_dtype=False compare locally yet fail the driver hash (the
+    # corpus_sequence_pack r07 red row).
     if len(got):
         for c in got.columns:
             gk, wk = _dtype_kind(got[c]), _dtype_kind(want[c])
@@ -141,3 +150,7 @@ def compare_query(spark, duck_con, fn, oracle: str, sf_dir: str) -> None:
                 f"value hash would differ (e.g. 5 vs 5.0); CAST the oracle "
                 f"column to the Spark side's type"
             )
+    # Strict dtype compare (r08 verdict item 6): normalize() already
+    # widened integer/float WIDTHS to the 8-byte form on both sides, so
+    # any dtype difference left here is a real cross-engine drift.
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)

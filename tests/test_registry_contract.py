@@ -75,6 +75,23 @@ def test_operators_inventory_in_sync():
         assert f"| `{name}` | {status} |" in ops, name
 
 
+def test_operators_staleness_dashboard_current():
+    """OPERATORS.md carries the generated re-verification-debt histogram
+    (r08 verdict item 7); it must match what gen_inventory would emit
+    from the committed CORRECTNESS evidence right now."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from gen_inventory import staleness_line
+
+    with open("OPERATORS.md") as f:
+        ops = f.read()
+    line = staleness_line()
+    assert line in ops, (
+        f"stale dashboard — rerun tools/gen_inventory.py; expected: {line}"
+    )
+
+
 def test_readme_counts_match_registry():
     """README advertises the registry size; stale prose was a round-1
     judge finding — keep the numbers generated-or-checked."""

@@ -24,9 +24,33 @@ string hash-compared by the correctness gate; behavior-tested = the
 probabilistic/sketch operators asserted on planted duplicates or error
 bounds instead.
 
+{staleness}
+
 | # | query | oracle | description |
 |---|---|---|---|
 """
+
+
+def staleness_line() -> str:
+    """One generated line showing the re-verification debt at a glance
+    (r08 verdict item 7): per registered query, the round of its most
+    recent green driver row (never = no green row yet), histogrammed.
+    Reuses the same evidence parse the verification rotation schedules
+    from, so the dashboard and the schedule cannot disagree."""
+    import __spark_entry__ as entry
+
+    prio = entry._evidence_priority()
+    hist: dict[int, int] = {}
+    for name in REGISTRY:
+        hist[prio.get(name, -1)] = hist.get(prio.get(name, -1), 0) + 1
+    parts = [
+        ("never" if rnd == -1 else f"r{rnd:02d}") + f"×{hist[rnd]}"
+        for rnd in sorted(hist)
+    ]
+    return (
+        "Verification staleness (latest green driver round per query): "
+        + " ".join(parts)
+    )
 
 
 def main() -> None:
@@ -37,8 +61,10 @@ def main() -> None:
         status = "yes" if spec.oracle else "behavior-tested"
         desc = " ".join(spec.description.split())
         rows.append(f"| {i} | `{name}` | {status} | {desc} |")
+    stale = staleness_line()
     with open("OPERATORS.md", "w") as f:
-        f.write(HEADER + "\n".join(rows) + "\n")
+        f.write(HEADER.format(staleness=stale) + "\n".join(rows) + "\n")
+    print(stale)
 
     n_q, n_o = len(q.queries()), len(q.oracle_sql())
     with open("README.md") as f:
@@ -50,6 +76,13 @@ def main() -> None:
         readme,
     )
     readme = re.sub(r"\d+-query surface", f"{n_q}-query surface", readme)
+    from bench import HEADLINE  # late import: bench imports the registry
+
+    readme = re.sub(
+        r"times \d+ headline queries",
+        f"times {len(HEADLINE)} headline queries",
+        readme,
+    )
     with open("README.md", "w") as f:
         f.write(readme)
 
