@@ -6,11 +6,18 @@ image family (multimodal/multimodal2/multimodal4).
 speech/audio curation pipeline runs before training: per-clip RMS
 energy, zero-crossing rate, peak amplitude, silence ratio, and
 clipping count — the signals used to drop silent, clipped, or
-pure-noise clips. Codecs are NOT in this container, so the decode
-stage is the documented stub (payload bytes stand in for 8-bit PCM
+pure-noise clips. The decode stage is format-dispatched: a payload
+that IS a RIFF/WAVE container is parsed for real — stdlib ``wave``
+header parse + PCM frame decode (8/16/24/32-bit, channel 0 of
+interleaved multi-channel), zero new dependencies, genuine fixture
+files in ``tests/fixtures/wav/`` — and everything else falls back to
+the documented synthesis stub (payload bytes stand in for 8-bit PCM
 centered at 64, the printable-band midrange, so planted fixtures have
-both signs); a real deployment replaces ONE line (``np.frombuffer`` of
-decoded PCM) and keeps the identical kernel, schema, and batching.
+both signs). Compressed codecs (mp3/opus/flac) are NOT in this
+container; adding one extends ``_decode_pcm``'s dispatch, the kernel,
+schema, and batching are already the production shape. Thresholds are
+expressed as fractions of full scale so the same rules grade 8-bit
+stub samples and 16-bit studio PCM identically.
 
 ``multimodal_video_scene_cuts`` is shot-boundary detection, the first
 pass of video curation (sample-per-shot instead of per-frame): the
@@ -46,8 +53,13 @@ from orca_spark.registry import register
 from orca_spark.tables import load
 
 _PCM_CENTER = 64  # stub decode: bytes -> centered 8-bit samples
-_SILENCE_ABS = 2  # |sample| <= this counts as silence
-_CLIP_ABS = 60  # |sample| >= this counts as clipped
+_STUB_FULL_SCALE = 128  # stub samples live in the 8-bit-ish band
+# thresholds as integer fractions of full scale: at the stub's scale of
+# 128 these reduce to the original |s| <= 2 silence / |s| >= 60 clip
+# constants, and a 16-bit WAV grades at the same physical levels
+# (silence 512, clip 15360) — one rule set across decoders
+_SILENCE_NUM = 2  # silence: |s| <= full_scale * 2 // 128
+_CLIP_NUM = 60  # clipped: |s| >= full_scale * 60 // 128
 _FRAME_BYTES = 64  # video stub: one 8x8 tile per frame
 _CUT_DELTA = 512  # adjacent-frame |sum delta| >= this is a cut
 
@@ -62,10 +74,54 @@ _VIDEO_SCHEMA = (
 )
 
 
+def _decode_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Format-dispatched decode: (int64 samples, full_scale).
+
+    A genuine RIFF/WAVE payload is parsed for real — stdlib ``wave``
+    reads the header (sample width, channel count) and the PCM frames;
+    8-bit WAV is unsigned (centered at 128), 16/32-bit are signed
+    little-endian, 24-bit is 3-byte two's complement sign-extended with
+    integer ops. Interleaved multi-channel keeps channel 0 (a curation
+    profile wants one representative stream; mixdown choice is
+    deterministic either way). Anything else — including a payload that
+    merely starts with 'RIFF' but fails the container parse — falls
+    back to the documented synthesis stub: raw bytes as 8-bit PCM
+    centered at ``_PCM_CENTER``."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                width, nch = w.getsampwidth(), w.getnchannels()
+                raw = w.readframes(w.getnframes())
+            if width == 1:
+                s = np.frombuffer(raw, np.uint8).astype(np.int64) - 128
+            elif width == 2:
+                s = np.frombuffer(raw, "<i2").astype(np.int64)
+            elif width == 4:
+                s = np.frombuffer(raw, "<i4").astype(np.int64)
+            elif width == 3:
+                b = np.frombuffer(raw, np.uint8)
+                b = b[: (b.size // 3) * 3].reshape(-1, 3).astype(np.int64)
+                s = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                s = (s ^ 0x800000) - 0x800000  # sign-extend bit 23
+            else:
+                raise ValueError(f"unsupported sample width {width}")
+            return s[::nch], 1 << (8 * width - 1)
+        except (wave.Error, EOFError, ValueError, RuntimeError):
+            # not a decodable WAV after all — stub path below. wave
+            # surfaces truncated/garbage chunks as wave.Error OR
+            # RuntimeError (chunk parse) depending on where it dies.
+            pass
+    s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+    return s - _PCM_CENTER, _STUB_FULL_SCALE
+
+
 def audio_features_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-    """STUB decode + real DSP. Real deployments replace the frombuffer
-    line with the decoded PCM of ``payload``; everything below it is
-    the production feature math (integer-exact accumulators)."""
+    """Dispatching decode (real WAV parse or documented stub) + real
+    DSP: everything below ``_decode_pcm`` is the production feature
+    math (integer-exact accumulators), identical for both paths."""
     out = {k: [] for k in (
         "doc_id", "n_samples", "energy", "rms_fp", "n_zero_cross",
         "peak", "silence_ppm", "n_clipped",
@@ -73,8 +129,9 @@ def audio_features_kernel(batch: pd.DataFrame) -> pd.DataFrame:
     for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
         if payload is None:
             continue
-        s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-        s -= _PCM_CENTER
+        s, full_scale = _decode_pcm(bytes(payload))
+        silence_abs = full_scale * _SILENCE_NUM // _STUB_FULL_SCALE
+        clip_abs = full_scale * _CLIP_NUM // _STUB_FULL_SCALE
         n = int(s.size)
         out["doc_id"].append(int(doc_id))
         out["n_samples"].append(n)
@@ -83,15 +140,25 @@ def audio_features_kernel(batch: pd.DataFrame) -> pd.DataFrame:
                       "silence_ppm", "n_clipped"):
                 out[k].append(0)
             continue
-        energy = int(np.dot(s, s))
-        out["energy"].append(energy)
+        # exact energy at ANY sample width: an int64 np.dot silently
+        # wraps once Σs² crosses 2^63 (two full-scale 32-bit squares
+        # already do). Each element square fits int64 (max (−2^31)² =
+        # 2^62), so split squares into 31-bit halves and recombine in
+        # Python big-int — vectorized, exact for clips up to 2^31
+        # samples (~13 h at 44.1 kHz) per accumulator term.
+        sq = s * s
+        energy = (int((sq >> 31).sum()) << 31) + int((sq & 0x7FFFFFFF).sum())
+        # the column is BIGINT: a pathological full-scale 32-bit clip
+        # can push exact energy past int64 — saturate deterministically
+        # (rms_fp below uses the exact value first)
+        out["energy"].append(min(energy, (1 << 63) - 1))
         out["rms_fp"].append(int(np.floor(np.sqrt(energy / n) * 65536.0)))
         out["n_zero_cross"].append(int(np.sum(s[:-1] * s[1:] < 0)))
         out["peak"].append(int(np.max(np.abs(s))))
         out["silence_ppm"].append(
-            int(np.sum(np.abs(s) <= _SILENCE_ABS)) * 1_000_000 // n
+            int(np.sum(np.abs(s) <= silence_abs)) * 1_000_000 // n
         )
-        out["n_clipped"].append(int(np.sum(np.abs(s) >= _CLIP_ABS)))
+        out["n_clipped"].append(int(np.sum(np.abs(s) >= clip_abs)))
     return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
 
 
