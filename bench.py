@@ -112,6 +112,9 @@ HEADLINE = [
     "sql_recursive_type_paths",
     "orders_interval_overlap_pairs",
     "streaming_tws_type_counts",
+    # r09: the composed gate -> dedup -> DSIR -> mix -> pack pipeline —
+    # composition cost tracked end-to-end like its pipeline siblings
+    "pipeline_full_curation",
 ]
 
 # Hard ceiling for the final stdout line; the driver keeps the last

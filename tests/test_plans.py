@@ -635,6 +635,26 @@ def test_audio_video_kernels_are_arrow_batched_maps(spark):
         assert "Exchange" not in p, name
 
 
+def test_full_curation_pipeline_composes_without_cartesian_or_python(spark):
+    """The r09 composed pipeline (gate -> exact dedup -> prefix
+    near-dedup -> DSIR -> mix -> pack) must keep each stage's scale
+    shape when fused into one plan: hash-keyed dedup shuffles, map-side
+    combinable aggregates, scalar totals as one-row broadcasts (never a
+    CartesianProduct), the weight window over the model-sized manifest
+    only, and zero Python in the plan."""
+    p = plan_str(spark, "pipeline_full_curation")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    # survivor selection groups on the 8-byte hash, never raw text
+    assert "xxhash64" in p
+    # the only Window is the per-lang weight normalization over the
+    # (lang, source) manifest — exactly one in the whole composite
+    tree = p.split("\n(1)")[0]
+    assert tree.count("Window") == 1, tree.count("Window")
+
+
 def test_pair_scan_scoring_is_stage_split(spark):
     """The embedding pair scans must keep the 64-term dot chain in ONE
     codegen stage each: threshold inside the join, rescore behind a

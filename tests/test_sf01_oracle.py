@@ -155,6 +155,8 @@ HEAVY = [
     # r08 review: oracle rewritten day-diff//7 (DuckDB week-boundary
     # off-by-one at ISO year-end spans)
     "events_cohort_retention",
+    # r09: the composed end-to-end curation pipeline
+    "pipeline_full_curation",
 ]
 
 _Q = queries()
