@@ -268,11 +268,13 @@ from orca_spark.operators import text20  # noqa: F401
 from orca_spark.operators import multimodal5  # noqa: F401
 from orca_spark.operators import analytics6  # noqa: F401
 
-# r09: the composed end-to-end curation pipeline (gate -> dedup ->
-# DSIR -> mix weights -> pack) — the round's only registration, so the
-# driver prefix spends its remaining 49 slots re-verifying the
-# r01-r02-vintage cohort (r08 verdict item 1).
+# r09: three registrations only, so the driver prefix spends its
+# remaining 47 slots re-verifying the r01-r02-vintage cohort (r08
+# verdict item 1): the composed end-to-end curation pipeline (gate ->
+# dedup -> DSIR -> mix weights -> pack), the CCNet tail-drop mix
+# schedule, and exact largest-remainder token-budget apportionment.
 from orca_spark.operators import pipeline4  # noqa: F401
+from orca_spark.operators import mixture3  # noqa: F401
 
 
 def queries():

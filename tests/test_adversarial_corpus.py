@@ -163,6 +163,10 @@ _DOC_QUERIES = [
     # streaming_, so the derived contract cannot see it; placed here by
     # test_adversarial_events.test_streaming_queries_are_placed)
     "streaming_pysource_jsonl_ingest",
+    # r09 registrations (all documents-driven)
+    "pipeline_full_curation",
+    "corpus_ccnet_mix_schedule",
+    "corpus_token_budget_allocation",
 ]
 
 

@@ -655,6 +655,31 @@ def test_full_curation_pipeline_composes_without_cartesian_or_python(spark):
     assert tree.count("Window") == 1, tree.count("Window")
 
 
+def test_mix_schedule_and_apportionment_window_over_manifests(spark):
+    """The CCNet schedule's only windows are the per-lang document-level
+    ntile (what CCNet itself runs) and the per-lang weight
+    normalization over the model-sized manifest; the apportionment's
+    global (SinglePartition) windows run over the (lang, source)
+    manifest AFTER aggregation — never over the corpus. Neither plan
+    may contain a cartesian product or Python."""
+    for name in ["corpus_ccnet_mix_schedule", "corpus_token_budget_allocation"]:
+        p = plan_str(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "partial_count" in p or "partial_sum" in p, name
+    p = plan_str(spark, "corpus_token_budget_allocation")
+    # the global window's exchange is SinglePartition (detail section)...
+    assert "SinglePartition" in p
+    # ...and in the tree (parents print first) an Exchange sits ABOVE
+    # the shard aggregate: the window consumes the manifest, not rows
+    tree = p.split("\n(1)")[0].splitlines()
+    ex = next((i for i, l in enumerate(tree) if "Exchange" in l), None)
+    ag = max((i for i, l in enumerate(tree) if "HashAggregate" in l), default=None)
+    assert ex is not None, "no Exchange in the plan tree"
+    assert ag is not None, "no HashAggregate in the plan tree"
+    assert ex < ag, "global window does not sit above the shard aggregate"
+
+
 def test_pair_scan_scoring_is_stage_split(spark):
     """The embedding pair scans must keep the 64-term dot chain in ONE
     codegen stage each: threshold inside the join, rescore behind a

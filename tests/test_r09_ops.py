@@ -128,6 +128,51 @@ def test_energy_exact_past_int64_dot():
     assert f["peak"] == 2**31
 
 
+def test_budget_allocation_is_exact_hamilton(spark):
+    """Largest-remainder apportionment invariants at sf0.001: the
+    allocations sum to the budget EXACTLY (the property floats cannot
+    give), every allocation is within 1 of its real-valued quota
+    (Hamilton's defining bound), and a zero-mass shard receives
+    nothing."""
+    from orca_spark.operators.mixture3 import _BUDGET
+    from orca_spark.registry import REGISTRY
+
+    rows = (
+        REGISTRY["corpus_token_budget_allocation"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    assert sum(r.alloc_tokens for r in rows) == _BUDGET
+    total_root = sum(r.root for r in rows)
+    for r in rows:
+        exact = _BUDGET * r.root / total_root
+        assert exact - 1 < r.alloc_tokens < exact + 1, (r, exact)
+        if r.root == 0:
+            assert r.alloc_tokens == 0, r
+
+
+def test_ccnet_schedule_drops_tail_and_normalizes(spark):
+    """The schedule has only head/middle buckets, and each language's
+    kept-bucket weights are a ppm partition (sum within ~1 of 1e6,
+    truncating division loses at most one ppm per bucket)."""
+    from orca_spark.registry import REGISTRY
+
+    rows = (
+        REGISTRY["corpus_ccnet_mix_schedule"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    assert {r.bucket for r in rows} <= {"head", "middle"}
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, shard in by_lang.items():
+        s = sum(r.weight_ppm for r in shard)
+        assert 1_000_000 - len(shard) < s <= 1_000_000, (lang, s)
+
+
 def test_wav_payload_through_spark_kernel(spark):
     """The same kernel the registered query runs (Arrow-batched
     mapInPandas, identical schema) decodes a genuine WAV payload

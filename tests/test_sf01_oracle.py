@@ -155,8 +155,13 @@ HEAVY = [
     # r08 review: oracle rewritten day-diff//7 (DuckDB week-boundary
     # off-by-one at ISO year-end spans)
     "events_cohort_retention",
-    # r09: the composed end-to-end curation pipeline
+    # r09: the composed end-to-end curation pipeline, the CCNet mix
+    # schedule, and the Hamilton apportionment (the latter two carry
+    # global/per-lang windows — the partition-order-sensitive class
+    # this lane exists for)
     "pipeline_full_curation",
+    "corpus_ccnet_mix_schedule",
+    "corpus_token_budget_allocation",
 ]
 
 _Q = queries()
