@@ -103,14 +103,33 @@ def test_riff_garbage_falls_back_to_stub():
     assert s.size == len(payload)
 
 
-def _wav_32bit(samples: list[int]) -> bytes:
+def _wav_pcm(samples: list[int], width: int) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
-        w.setsampwidth(4)
+        w.setsampwidth(width)
         w.setframerate(8000)
-        w.writeframes(b"".join(struct.pack("<i", v) for v in samples))
+        if width == 3:
+            raw = b"".join(
+                struct.pack("<i", v)[:3] for v in samples
+            )  # little-endian keeps the low 3 bytes
+        else:
+            raw = b"".join(struct.pack("<i", v) for v in samples)
+        w.writeframes(raw)
     return buf.getvalue()
+
+
+def _wav_32bit(samples: list[int]) -> bytes:
+    return _wav_pcm(samples, 4)
+
+
+def test_wav_24bit_sign_extension():
+    """24-bit PCM is 3-byte two's complement: both full-scale extremes
+    and a small negative must sign-extend exactly."""
+    samples = [8388607, -8388608, -1, 2]
+    s, full_scale = _decode_pcm(_wav_pcm(samples, 3))
+    assert full_scale == 1 << 23
+    assert s.tolist() == samples
 
 
 def test_energy_exact_past_int64_dot():
