@@ -21,10 +21,19 @@ in the group,
 since absent values contribute exactly their global mass c_v/N — no
 group x full-domain expansion is ever materialized.
 
-Determinism: every ratio derives from exact BIGINT counts (identical
-doubles both engines); the per-group sum is rounded at the surface,
-and the t flag compares the ROUNDED distance so an order-dependent
-last ulp can never flip it.
+Determinism: the per-value terms are brought to the common denominator
+n_g·N, so the per-group sum is over EXACT BIGINT numerators
+
+    S_g = sum_v ( |c_gv·N - c_v·n_g| - c_v·n_g ),
+    TV_g = 0.5 * ( 1 + S_g / (n_g·N) )
+
+and only ONE double division happens per group — identical integers
+give identical doubles on both engines, so summation order cannot
+move the result (a double per-term sum flipped the 4th decimal on 1 of
+592 groups at sf0.1 — the r09 lane caught it). The BIGINT products are
+exact up to ~3e9 documents (N² < 2^63); past that, the numerators move
+to DECIMAL(38,0) with the same shape. The t flag compares the ROUNDED
+distance, same as before.
 
 Scale: sensitive-value counts are one map-side-combinable groupBy;
 the global distribution is vocabulary-sized and broadcast; the final
@@ -75,19 +84,23 @@ _BUCKET = 100  # same size-bucket granularity as the k/l audits
         ),
         tot AS (SELECT CAST(sum(c_v) AS BIGINT) AS n FROM gdist),
         terms AS (
-            SELECT gw.lang, gw.source, gw.size_bucket, gw.n_g,
-                   abs(gw.c_gv * 1.0 / gw.n_g - gdist.c_v * 1.0 / tot.n)
-                   - gdist.c_v * 1.0 / tot.n AS t
+            -- common denominator n_g*N: the numerator is exact BIGINT,
+            -- so the per-group sum below is order-independent
+            SELECT gw.lang, gw.source, gw.size_bucket, gw.n_g, tot.n,
+                   abs(gw.c_gv * tot.n - gdist.c_v * gw.n_g)
+                   - gdist.c_v * gw.n_g AS t_num
             FROM gw
             JOIN gdist USING (sv)
             CROSS JOIN tot
         )
         SELECT lang, source, size_bucket,
                n_g AS group_n,
-               round(0.5 * (1 + sum(t)), 4) AS tv_distance,
-               round(0.5 * (1 + sum(t)), 4) <= {_T} AS t_close
+               round(0.5 * (1 + sum(t_num) * 1.0 / (n_g * n)), 4)
+                   AS tv_distance,
+               round(0.5 * (1 + sum(t_num) * 1.0 / (n_g * n)), 4) <= {_T}
+                   AS t_close
         FROM terms
-        GROUP BY lang, source, size_bucket, n_g
+        GROUP BY lang, source, size_bucket, n_g, n
     """,
     description=f"t-closeness audit (t={_T}, total-variation metric) "
     "over the same quasi-identifier groups as the k/l audits: distance "
@@ -124,15 +137,27 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = gv.groupBy("sv").agg(F.sum("c_gv").alias("c_v"))
     tot = glob.agg(F.sum("c_v").alias("n"))
-    term = F.abs(
-        F.col("c_gv") / F.col("n_g") - F.col("c_v") / F.col("n")
-    ) - F.col("c_v") / F.col("n")
-    tv = F.round(F.lit(0.5) * (F.lit(1) + F.sum("t")), 4)
+    # common denominator n_g*N: exact BIGINT numerator per value, so the
+    # per-group sum is order-independent; ONE double division per group
+    term_num = F.abs(
+        F.col("c_gv") * F.col("n") - F.col("c_v") * F.col("n_g")
+    ) - F.col("c_v") * F.col("n_g")
+    tv = F.round(
+        F.lit(0.5)
+        * (
+            F.lit(1)
+            + F.sum("t_num") * F.lit(1.0) / (F.col("n_g") * F.col("n"))
+        ),
+        4,
+    )
     return (
         gw.join(F.broadcast(glob), "sv")
         .crossJoin(F.broadcast(tot))
-        .select("lang", "source", "size_bucket", "n_g", term.alias("t"))
-        .groupBy("lang", "source", "size_bucket", "n_g")
+        .select(
+            "lang", "source", "size_bucket", "n_g", "n", term_num.alias("t_num")
+        )
+        .groupBy("lang", "source", "size_bucket", "n_g", "n")
         .agg(tv.alias("tv_distance"), (tv <= _T).alias("t_close"))
         .withColumnRenamed("n_g", "group_n")
+        .drop("n")
     )
