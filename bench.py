@@ -213,10 +213,20 @@ def main() -> None:
         # spread keeps the warmup cost visible.
         "embedding_near_dup_pairs_ivf": runs_per_query + 4,
     }
+    # conditionally-registered queries (the TWS family gates on a
+    # protobuf runtime) must degrade to a visible skip, not a KeyError
+    # after minutes of timing runs with no JSON line for the driver
+    headline = [n for n in HEADLINE if n in allq]
+    missing = [n for n in HEADLINE if n not in allq]
+    if missing:
+        print(json.dumps({"bench_unregistered_skipped": missing}),
+              file=sys.stderr)
+        sys.stderr.flush()
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     cold_runs: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         samples = []
         for _ in range(extra_runs.get(name, runs_per_query)):
             # t0 before plan construction: queries with eager side

@@ -31,6 +31,29 @@ from orca_spark.registry import register
 from orca_spark.tables import load
 
 
+def _with_isqrt(df: DataFrame) -> DataFrame:
+    """Exact integer sqrt of ``n_tokens`` as ``root``: double candidate,
+    integer-verified ±1 correction (floor(sqrt(double)) can round a
+    near-perfect-square up). One implementation, three call sites
+    (sqrt mix weights, the CCNet schedule, the curation pipeline, the
+    budget apportionment) — a correction lands everywhere at once."""
+    cand = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    return (
+        df.withColumn("_s", cand)
+        .withColumn(
+            "root",
+            F.when(F.col("_s") * F.col("_s") > F.col("n_tokens"), F.col("_s") - 1)
+            .when(
+                (F.col("_s") + 1) * (F.col("_s") + 1) <= F.col("n_tokens"),
+                F.col("_s") + 1,
+            )
+            .otherwise(F.col("_s"))
+            .cast("long"),
+        )
+        .drop("_s")
+    )
+
+
 @register(
     "corpus_sqrt_mix_weights",
     oracle=f"""
@@ -100,17 +123,7 @@ def corpus_sqrt_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("n_tokens"),
         )
     )
-    cand = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
-    rooted = agg.withColumn("_s", cand).withColumn(
-        "root",
-        F.when(F.col("_s") * F.col("_s") > F.col("n_tokens"), F.col("_s") - 1)
-        .when(
-            (F.col("_s") + 1) * (F.col("_s") + 1) <= F.col("n_tokens"),
-            F.col("_s") + 1,
-        )
-        .otherwise(F.col("_s"))
-        .cast("long"),
-    ).drop("_s")
+    rooted = _with_isqrt(agg)
     wlang = W.partitionBy("lang")
     return rooted.select(
         "lang",

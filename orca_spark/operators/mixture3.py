@@ -38,31 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from orca_spark.operators.mixture2 import _with_isqrt
 from orca_spark.operators.text6 import unigram_logprob_df
 from orca_spark.registry import register
 from orca_spark.tables import load
 
 _BUDGET = 1_000_000_000  # global token budget B for the apportionment
-
-
-def _with_isqrt(df: DataFrame) -> DataFrame:
-    """mixture2's exact integer sqrt of ``n_tokens`` as ``root``: double
-    candidate, integer-verified ±1 correction."""
-    cand = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
-    return (
-        df.withColumn("_s", cand)
-        .withColumn(
-            "root",
-            F.when(F.col("_s") * F.col("_s") > F.col("n_tokens"), F.col("_s") - 1)
-            .when(
-                (F.col("_s") + 1) * (F.col("_s") + 1) <= F.col("n_tokens"),
-                F.col("_s") + 1,
-            )
-            .otherwise(F.col("_s"))
-            .cast("long"),
-        )
-        .drop("_s")
-    )
 
 
 @register(
@@ -79,8 +60,15 @@ def _with_isqrt(df: DataFrame) -> DataFrame:
         counts AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
         total AS (SELECT sum(c) AS total FROM counts),
         scored AS (
+            -- the ntile ORDER key is the 1e-4 fixed-point INTEGER of
+            -- the rounded score: ordering doubles would let a last-ulp
+            -- summation difference near a tercile boundary flip a
+            -- doc's bucket (membership amplifies a 4th-decimal drift
+            -- into whole-row changes); both engines derive the same
+            -- integer from the same rounded double
             SELECT tok.doc_id,
-                   round(avg(ln(counts.c / total.total)), 4) AS s,
+                   CAST(round(round(avg(ln(counts.c / total.total)), 4)
+                              * 10000) AS BIGINT) AS s_e4,
                    CAST(count(*) AS BIGINT) AS doc_tokens
             FROM tok JOIN counts ON counts.w = tok.w CROSS JOIN total
             GROUP BY tok.doc_id
@@ -88,7 +76,7 @@ def _with_isqrt(df: DataFrame) -> DataFrame:
         terciled AS (
             SELECT docs.lang, scored.doc_tokens,
                    ntile(3) OVER (PARTITION BY docs.lang
-                                  ORDER BY scored.s DESC, scored.doc_id)
+                                  ORDER BY scored.s_e4 DESC, scored.doc_id)
                        AS t
             FROM scored JOIN docs ON docs.doc_id = scored.doc_id
         ),
@@ -130,15 +118,18 @@ def corpus_ccnet_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & F.col("lang").isNotNull()
     )
+    # fixed-point INTEGER ordering key (see the oracle's scored note):
+    # bucket membership must not hinge on a double's last ulp
     scored = unigram_logprob_df(docs).select(
-        "doc_id", F.col("avg_logprob").alias("s"),
+        "doc_id",
+        F.round(F.col("avg_logprob") * 10000).cast("long").alias("s_e4"),
         F.col("n_tokens").alias("doc_tokens"),
     )
     terciled = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
         "lang",
         "doc_tokens",
         F.ntile(3)
-        .over(W.partitionBy("lang").orderBy(F.desc("s"), F.col("doc_id")))
+        .over(W.partitionBy("lang").orderBy(F.desc("s_e4"), F.col("doc_id")))
         .alias("t"),
     )
     kept = (

@@ -47,10 +47,14 @@ Determinism: gates and counts are integer; survivor choice is min
 doc_id within hash groups (the oracle groups on md5/the literal prefix
 — equivalent partitions of identical keys, the pipeline_pretrain_corpus
 convention); isqrt is integer-verified; DSIR is integerized to 1e-4
-fixed point at the per-doc boundary (dsir_e4), so the manifest rollup
-is exact BIGINT arithmetic — a double avg-of-avgs flipped the 4th
-decimal on 2/88 groups between engines, which is exactly the drift
-class the fixed point removes.
+fixed point at the per-doc boundary (dsir_e4), which makes the GROUP
+ROLLUP exact BIGINT arithmetic — a double avg-of-avgs flipped the 4th
+decimal on 2/88 groups between engines before the fixed point. The
+per-doc value itself keeps the single round-of-a-double exposure every
+green avg(ln) operator has (corpus_dsir_importance included): one
+rounding of one double per doc, covered empirically by the sf0.1 and
+partition-invariance lanes, not removed algebraically (ln admits no
+rational form).
 
 Reference parity: core.clj has no corpus surface (SURVEY §2.5); this
 is the LLM-pipeline composition family alongside pipeline.py and
@@ -63,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from orca_spark.operators.curation2 import _DSIR_TARGET
+from orca_spark.operators.mixture2 import _with_isqrt
 from orca_spark.operators.text19 import (
     _MAX_MWL_C,
     _MAX_WORDS,
@@ -293,22 +298,7 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_dsir_e4"),
         )
     )
-    # mixture2's exact integer sqrt: double candidate, integer-verified
-    cand = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
-    rooted = (
-        agg.withColumn("_s", cand)
-        .withColumn(
-            "root",
-            F.when(F.col("_s") * F.col("_s") > F.col("n_tokens"), F.col("_s") - 1)
-            .when(
-                (F.col("_s") + 1) * (F.col("_s") + 1) <= F.col("n_tokens"),
-                F.col("_s") + 1,
-            )
-            .otherwise(F.col("_s"))
-            .cast("long"),
-        )
-        .drop("_s")
-    )
+    rooted = _with_isqrt(agg)
     wlang = W.partitionBy("lang")
     return (
         rooted.withColumn("_den", F.sum("root").over(wlang))
