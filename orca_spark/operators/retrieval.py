@@ -24,6 +24,7 @@ from orca_spark.tables import load
 
 _RRF_K = 60
 _TOP = 10
+_SEM_LIST = 100  # semantic candidate-list size: RRF fuses TRUNCATED lists
 _QUERY_VEC_ID = 0  # deterministic query: document 0's embedding
 
 
@@ -77,10 +78,14 @@ _QUERY_VEC_ID = 0  # deterministic query: document 0's embedding
             FROM embeddings e CROSS JOIN q
             WHERE e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x <> 0)) > 0 AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
         ),
+        semt AS (
+            SELECT doc_id, cos FROM sem
+            ORDER BY cos DESC, doc_id LIMIT {_SEM_LIST}
+        ),
         semr AS (
             SELECT doc_id,
                    row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
-            FROM sem
+            FROM semt
         )
         SELECT doc_id,
                CAST(sem_rank AS BIGINT) AS sem_rank,
@@ -95,16 +100,24 @@ _QUERY_VEC_ID = 0  # deterministic query: document 0's embedding
     f"{_RRF_K}): BM25 ranking over the query terms {_BM25_QUERY} fused "
     "with an embedding-cosine ranking against a fixed query vector — "
     "rank-only fusion needs no score calibration across the two "
-    "signals; both lists rank on rounded scores with id tie-breaks so "
-    "the fused top-10 is deterministic and fully oracle-checked",
+    f"signals; the semantic list is TRUNCATED to its top-{_SEM_LIST} "
+    "before ranking (RRF is defined over truncated lists); both lists "
+    "rank on rounded scores with id tie-breaks so the fused top-10 is "
+    "deterministic and fully oracle-checked",
 )
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the lexical list reuses BM25's broadcast-scalars shape;
-    the semantic list is one broadcast-query corpus scan.  The global
-    rank windows run on LIST-sized inputs (scored candidates, not the
-    corpus — BM25 only emits matching docs) and the fused top-k
-    compiles to TakeOrdered.  For query BATCHES, both windows partition
-    by query_id and the same plan serves thousands of queries."""
+    """Scale: the lexical list reuses BM25's broadcast-scalars shape
+    (only docs matching a query term are scored, so its rank window is
+    list-sized by construction).  The semantic side is one
+    broadcast-query corpus scan whose candidates are truncated to the
+    top-_SEM_LIST via orderBy+limit — Spark compiles that to
+    TakeOrderedAndProject (per-partition heap top-K, merge of K-sized
+    partials), so the subsequent rank window runs on at most _SEM_LIST
+    rows, never on a corpus-sized single partition.  Docs outside the
+    truncated list contribute 0 to the fusion (the RRF convention).
+    The fused top-k compiles to TakeOrdered as well.  For query
+    BATCHES see retrieval_hybrid_rrf_batch, which bounds the per-query
+    truncation with a two-phase bucketed top-K."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     emb = load_embeddings(spark, sf_dir)
 
@@ -125,8 +138,12 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot("qe", "e", validated=True) / (F.col("qn") * F.col("en")), 4
         ).alias("cos"),
     )
+    # truncate BEFORE ranking: orderBy+limit compiles to
+    # TakeOrderedAndProject, so the rank window below sees at most
+    # _SEM_LIST rows instead of the whole corpus.
+    sem_top = sem.orderBy(F.col("cos").desc(), "doc_id").limit(_SEM_LIST)
     ws = W.orderBy(F.col("cos").desc(), "doc_id")
-    semr = sem.select(
+    semr = sem_top.select(
         "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
     )
 
@@ -213,10 +230,13 @@ _TOP_BATCH = 5
             WHERE e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x <> 0)) > 0 AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
         ),
         semr AS (
-            SELECT query_id, doc_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, doc_id) AS sem_rank
-            FROM sem
+            SELECT query_id, doc_id, sem_rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, doc_id)
+                           AS sem_rank
+                FROM sem
+            ) WHERE sem_rank <= {_SEM_LIST}
         ),
         fused AS (
             SELECT query_id, doc_id,
@@ -236,13 +256,27 @@ _TOP_BATCH = 5
     """,
     description="BATCHED hybrid retrieval: three (term-set, vector) "
     "queries served by ONE plan — BM25 generalizes to a (query, term) "
-    "table join, the semantic side broadcasts all query vectors, and "
-    "every window partitions by query_id; per-query top-5 by "
-    "reciprocal-rank fusion. The same plan serves thousands of "
-    "queries — the production form the single-query operator's "
+    "table join, the semantic side broadcasts all query vectors and "
+    f"truncates each query's candidate list to its top-{_SEM_LIST} "
+    "via a rank filter Spark rewrites to a map-side partial group "
+    "limit (no corpus-sized window partition reaches the exchange), "
+    "and every window partitions by query_id; per-query "
+    "top-5 by reciprocal-rank fusion. The same plan serves thousands "
+    "of queries — the production form the single-query operator's "
     "docstring promises",
 )
 def retrieval_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the per-query semantic top-K cannot use orderBy+limit
+    (that is a single global list), so it is expressed as
+    ``row_number() OVER (PARTITION BY query_id ...) <= _SEM_LIST`` and
+    Spark's WindowGroupLimit rule rewrites it into the two-phase
+    pattern automatically: a PARTIAL group-limit runs map-side before
+    the exchange (each input split ships at most _SEM_LIST rows per
+    query), so the post-shuffle rank window sees at most
+    splits x _SEM_LIST candidates per query, never the corpus.
+    ``test_plans.py`` pins the Partial node's presence.  The result is
+    exactly the per-query top-_SEM_LIST by (cos DESC, doc_id), so the
+    oracle states it directly."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     emb = load_embeddings(spark, sf_dir)
     tok = docs.select(
@@ -303,7 +337,7 @@ def retrieval_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "doc_id",
         F.row_number().over(ws).cast("long").alias("sem_rank"),
-    )
+    ).where(F.col("sem_rank") <= _SEM_LIST)
 
     fused = semr.join(lexr, ["query_id", "doc_id"], "full")
     rrf = F.round(

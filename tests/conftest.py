@@ -112,6 +112,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         k = df[c].dtype.kind
         if k in ("i", "u") and df[c].dtype != "int64":
+            if k == "u" and len(df) and int(df[c].max()) > 2**63 - 1:
+                # astype('int64') would raise OverflowError (or wrap on
+                # older pandas) — fail with the comparison-style message
+                raise AssertionError(
+                    f"unsigned column '{c}' holds values >= 2**63 "
+                    f"(max={df[c].max()}): cannot widen to int64 for "
+                    "the cross-engine compare; CAST the oracle column "
+                    "to the Spark side's signed type"
+                )
             df[c] = df[c].astype("int64")
         elif k == "f" and df[c].dtype != "float64":
             df[c] = df[c].astype("float64")

@@ -76,6 +76,10 @@ def _run_under(spark, fn, conf: dict[str, str]) -> pd.DataFrame:
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # the original value was unreadable: unset rather than
+                # leak this regime's value into the shared session
+                spark.conf.unset(k)
 
 
 def test_all_oracled_queries_are_covered():

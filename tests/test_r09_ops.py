@@ -19,6 +19,8 @@ import wave
 import numpy as np
 import pandas as pd
 
+from tests.conftest import SF_DIR
+
 from orca_spark.operators.multimodal5 import (
     _PCM_CENTER,
     _decode_pcm,
@@ -158,7 +160,7 @@ def test_budget_allocation_is_exact_hamilton(spark):
 
     rows = (
         REGISTRY["corpus_token_budget_allocation"]
-        .fn(spark, "/root/testdata/sf0.001")
+        .fn(spark, SF_DIR)
         .collect()
     )
     assert rows
@@ -179,7 +181,7 @@ def test_ccnet_schedule_drops_tail_and_normalizes(spark):
 
     rows = (
         REGISTRY["corpus_ccnet_mix_schedule"]
-        .fn(spark, "/root/testdata/sf0.001")
+        .fn(spark, SF_DIR)
         .collect()
     )
     assert rows
