@@ -115,11 +115,16 @@ HEADLINE = [
     # r09: the composed gate -> dedup -> DSIR -> mix -> pack pipeline —
     # composition cost tracked end-to-end like its pipeline siblings
     "pipeline_full_curation",
+    # r10: the round's two registrations (r09 verdict item 8) — the
+    # incremental curation-manifest delta and the streaming
+    # ingest -> gate -> exact-dedup TWS job
+    "pipeline_curation_incremental",
+    "streaming_ingest_gate_dedup",
 ]
 
 # Hard ceiling for the final stdout line; the driver keeps the last
 # 2,000 bytes of output, so anything longer loses its JSON head.
-_LINE_BUDGET = 1900
+_LINE_BUDGET = 1950  # 50-byte headroom under the 2,000-byte window
 
 
 def _prev_parsed(here: str) -> tuple[str | None, dict[str, float]]:
@@ -259,6 +264,26 @@ def main() -> None:
     # Regression tripwire (VERDICT r05 #5): per-query delta vs the last
     # driver-parsed bench; >1.5x risers are self-flagged in the detail
     # sidecar instead of waiting for a judge to notice.
+    # Host-speed calibration: a FIXED, code-independent workload (pure
+    # numpy GEMM + a JVM aggregation over a generated range) timed the
+    # same way every round. When every query drifts by a uniform
+    # multiplier while this number drifts with it, the cause is the
+    # shared host's speed state, not a plan regression — the r09→r10
+    # ambiguity (driver smear 1.08x across untouched queries) becomes
+    # decidable by evidence instead of argument.
+    import numpy as _np
+
+    rng = _np.arange(1_048_576, dtype=_np.float64).reshape(1024, 1024) / 1e6
+    cal = []
+    for _ in range(5):
+        c0 = time.perf_counter()
+        (rng @ rng).sum()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) as s"
+        ).collect()
+        cal.append(time.perf_counter() - c0)
+    host_calibration = round(sorted(cal)[len(cal) // 2], 3)
+
     prev_file, prev = _prev_parsed(here)
     deltas = {
         n: round(timings[n] / prev[n], 2)
@@ -269,6 +294,7 @@ def main() -> None:
         (n for n, d in deltas.items() if d > 1.5), key=lambda n: -deltas[n]
     )
     detail = {
+        "host_calibration_sec": host_calibration,
         "spread": spreads,
         "cold_run": cold_runs,
         "runs_per_query": runs_per_query,
@@ -286,7 +312,11 @@ def main() -> None:
             "each end) so warmup/outliers don't swamp the 1.5x riser "
             "tripwire. Since r06 stdout carries ONLY the compact medians "
             "line (the r05 line outgrew the driver's 2,000-byte capture "
-            "window); spreads/deltas live here in BENCH_DETAIL.json."
+            "window); spreads/deltas live here in BENCH_DETAIL.json. "
+            "'host_calibration_sec' (since r10) times a FIXED numpy GEMM "
+            "+ JVM range-sum: compare it across rounds to separate "
+            "shared-host speed drift (uniform, calibration moves too) "
+            "from plan regressions (query-specific, calibration steady)."
         ),
     }
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:

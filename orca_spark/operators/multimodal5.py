@@ -20,11 +20,18 @@ expressed as fractions of full scale so the same rules grade 8-bit
 stub samples and 16-bit studio PCM identically.
 
 ``multimodal_video_scene_cuts`` is shot-boundary detection, the first
-pass of video curation (sample-per-shot instead of per-frame): the
-payload is framed into fixed 64-byte tiles, per-frame integer
-luminance sums are compared pairwise, and a cut is an adjacent-frame
-delta above threshold. Frame decode is stubbed the same way; the
-framing, batching, and integer comparisons are the production shape.
+pass of video curation (sample-per-shot instead of per-frame):
+per-frame integer luminance sums are compared pairwise, and a cut is
+an adjacent-frame delta above a per-pixel threshold. Frame decode is
+format-dispatched like audio: a payload that IS a YUV4MPEG2 (Y4M)
+stream is parsed for real — plain-text header + raw planar YUV
+frames, the Y plane read directly as luminance, 420/422/444/mono
+chroma strides, zero new dependencies, genuine fixture files in
+``tests/fixtures/y4m/`` — and everything else falls back to the
+documented synthesis stub (payload framed into fixed 64-byte tiles).
+Compressed codecs (h264/vp9/av1) are NOT in this container; adding
+one extends ``_decode_luma_sums``'s dispatch, the kernel, schema, and
+batching are already the production shape.
 
 Both kernels are Arrow-batched ``mapInPandas`` over vectorized numpy —
 integer accumulators throughout (exact at any clip length; the only
@@ -183,17 +190,95 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(run, schema=_AUDIO_SCHEMA)
 
 
+def _decode_luma_sums(payload: bytes) -> tuple[np.ndarray, int]:
+    """Format-dispatched video decode: (per-frame luma sums, pixels per
+    frame).
+
+    A genuine YUV4MPEG2 (Y4M) stream is parsed for real — the format is
+    a plain-text header (``YUV4MPEG2 W<w> H<h> ... C<chroma>\\n``)
+    followed by ``FRAME[params]\\n`` + raw planar YUV per frame, so the
+    parse is pure stdlib/numpy: the Y plane (the first w*h bytes of
+    each frame) IS the luminance the scene-cut math wants, no color
+    conversion needed. 420/422/444/mono chroma subsamplings are
+    supported (they only change the per-frame byte stride; the luma
+    plane is identical). Anything else — including a payload that
+    merely starts with the magic but fails the stream parse (missing
+    dims, bad FRAME marker, truncated frame) — falls back to the
+    documented synthesis stub: raw bytes framed into fixed
+    ``_FRAME_BYTES``-byte tiles. Genuine fixture files live in
+    ``tests/fixtures/y4m/`` (tools/gen_y4m_fixtures.py)."""
+    if payload[:9] == b"YUV4MPEG2":
+        parsed = _parse_y4m(payload)
+        if parsed is not None:
+            return parsed
+    raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+    n_frames = int(raw.size // _FRAME_BYTES)
+    if n_frames == 0:
+        return np.zeros(0, dtype=np.int64), _FRAME_BYTES
+    tiles = raw[: n_frames * _FRAME_BYTES].reshape(n_frames, _FRAME_BYTES)
+    return tiles.sum(axis=1), _FRAME_BYTES
+
+
+def _parse_y4m(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Strict Y4M stream parse; None on any malformation (caller
+    stubs). Returns (per-frame Y-plane sums, w*h)."""
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = 0
+    chroma = b"420"  # the Y4M default when no C parameter is present
+    for tok in payload[9:nl].split(b" "):
+        if tok[:1] == b"W" and tok[1:].isdigit():
+            w = int(tok[1:])
+        elif tok[:1] == b"H" and tok[1:].isdigit():
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:]
+    if w <= 0 or h <= 0:
+        return None
+    ysize = w * h
+    if chroma[:4] == b"mono":
+        fsize = ysize
+    elif chroma[:3] == b"420":
+        fsize = ysize + ysize // 2
+    elif chroma[:3] == b"422":
+        fsize = ysize * 2
+    elif chroma[:3] == b"444":
+        fsize = ysize * 3
+    else:
+        return None
+    sums: list[int] = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            return None
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + fsize > n:
+            return None
+        y = np.frombuffer(payload[fnl + 1 : fnl + 1 + ysize], np.uint8)
+        sums.append(int(y.astype(np.int64).sum()))
+        pos = fnl + 1 + fsize
+    if not sums:
+        return None
+    return np.asarray(sums, dtype=np.int64), ysize
+
+
 def video_scene_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-    """STUB frame decode + real shot-boundary math: 64-byte tiles as
-    frames, integer luminance sums, cut = |adjacent delta| >= threshold."""
+    """Dispatching decode (real Y4M parse or documented tile stub) +
+    real shot-boundary math: integer per-frame luminance sums, cut =
+    |adjacent delta| >= threshold. The threshold is expressed PER
+    PIXEL (``_CUT_DELTA / _FRAME_BYTES`` = 8 luma levels), so the same
+    rule grades 64-byte stub tiles and real W*H Y4M frames at the same
+    physical level — the WAV family's fraction-of-full-scale idea."""
     out = {k: [] for k in (
         "doc_id", "n_frames", "n_cuts", "max_delta", "first_frame_sum",
     )}
     for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
         if payload is None:
             continue
-        raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-        n_frames = int(raw.size // _FRAME_BYTES)
+        sums, frame_pixels = _decode_luma_sums(bytes(payload))
+        n_frames = int(sums.size)
         out["doc_id"].append(int(doc_id))
         out["n_frames"].append(n_frames)
         if n_frames == 0:
@@ -201,10 +286,11 @@ def video_scene_kernel(batch: pd.DataFrame) -> pd.DataFrame:
             out["max_delta"].append(0)
             out["first_frame_sum"].append(0)
             continue
-        frames = raw[: n_frames * _FRAME_BYTES].reshape(n_frames, _FRAME_BYTES)
-        sums = frames.sum(axis=1)
+        # per-pixel threshold scaled to this decoder's frame size: at
+        # the stub's 64-byte tiles this reduces to the original 512
+        cut_abs = frame_pixels * _CUT_DELTA // _FRAME_BYTES
         deltas = np.abs(np.diff(sums))
-        out["n_cuts"].append(int(np.sum(deltas >= _CUT_DELTA)))
+        out["n_cuts"].append(int(np.sum(deltas >= cut_abs)))
         out["max_delta"].append(int(deltas.max()) if deltas.size else 0)
         out["first_frame_sum"].append(int(sums[0]))
     return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
@@ -215,10 +301,11 @@ def video_scene_kernel(batch: pd.DataFrame) -> pd.DataFrame:
     # no oracle: framed byte-level diffing has no SQL twin — planted
     # cut fixtures in tests/test_r08_ops.py; rows-only driver check
     description="video shot-boundary detection (sample-per-shot "
-    "curation): payload framed into 64-byte tiles, integer per-frame "
-    "luminance sums, cut = adjacent delta >= threshold — stubbed frame "
-    "decode behind Arrow-batched mapInPandas, integer-exact, one pass, "
-    "zero shuffles",
+    "curation): integer per-frame luminance sums, cut = adjacent "
+    "delta >= per-pixel threshold — REAL YUV4MPEG2 (Y4M) stream parse "
+    "(Y plane as luma, 420/422/444/mono) with documented 64-byte-tile "
+    "stub fallback, behind Arrow-batched mapInPandas, integer-exact, "
+    "one pass, zero shuffles",
 )
 def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

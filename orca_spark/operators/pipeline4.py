@@ -93,6 +93,53 @@ _GATE_STOPWORD_HITS = 1
 _STOP_LIST = ", ".join(repr(s) for s in _STOPWORDS)
 
 
+def gated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite's Gopher token gate over the documents table:
+    ``gate_rows`` applied to the batch load. Shared by the full
+    pipeline and its incremental form (pipeline5)."""
+    return gate_rows(load(spark, sf_dir, "documents"))
+
+
+def gate_rows(docs: DataFrame) -> DataFrame:
+    """The Gopher token gate as a frame-in/frame-out stage usable on
+    BATCH and STREAMING inputs alike (row-local expressions only, so
+    Catalyst fuses it into the scan / micro-batch): non-null (text,
+    lang, source) rows that pass the word-count, mean-word-length, and
+    stopword-hit rules, tokenized — columns (doc_id, lang, source,
+    text, toks, n_words). One implementation site (pipeline4,
+    pipeline5, streaming jobs12) so composites can never drift on gate
+    semantics."""
+    docs = docs.where(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    base = docs.select(
+        "doc_id", "lang", "source", "text", toks.alias("toks")
+    ).withColumn("tok_chars", F.length(F.array_join("toks", "")))
+    sig = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "toks",
+        F.size("toks").cast("long").alias("n_words"),
+        # BIGINT widen BEFORE the multiply (text19's ANSI-overflow rule)
+        F.when(F.size("toks") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("CAST(tok_chars AS BIGINT) * 100 div size(toks)"))
+        .alias("mwl_c"),
+        F.size(
+            F.array_intersect("toks", F.array(*[F.lit(s) for s in _STOPWORDS]))
+        ).alias("stop_hits"),
+    )
+    return sig.where(
+        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("mwl_c").between(_MIN_MWL_C, _MAX_MWL_C)
+        & (F.col("stop_hits") >= _GATE_STOPWORD_HITS)
+    ).select("doc_id", "lang", "source", "text", "toks", "n_words")
+
+
 @register(
     "pipeline_full_curation",
     oracle=f"""
@@ -191,35 +238,7 @@ _STOP_LIST = ", ".join(repr(s) for s in _STOPWORDS)
     "totals, manifest model-sized",
 )
 def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-        & F.col("lang").isNotNull()
-        & F.col("source").isNotNull()
-    )
-    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
-    base = docs.select(
-        "doc_id", "lang", "source", "text", toks.alias("toks")
-    ).withColumn("tok_chars", F.length(F.array_join("toks", "")))
-    sig = base.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        "toks",
-        F.size("toks").cast("long").alias("n_words"),
-        # BIGINT widen BEFORE the multiply (text19's ANSI-overflow rule)
-        F.when(F.size("toks") == 0, F.lit(0).cast("long"))
-        .otherwise(F.expr("CAST(tok_chars AS BIGINT) * 100 div size(toks)"))
-        .alias("mwl_c"),
-        F.size(
-            F.array_intersect("toks", F.array(*[F.lit(s) for s in _STOPWORDS]))
-        ).alias("stop_hits"),
-    )
-    kept = sig.where(
-        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
-        & F.col("mwl_c").between(_MIN_MWL_C, _MAX_MWL_C)
-        & (F.col("stop_hits") >= _GATE_STOPWORD_HITS)
-    )
+    kept = gated_docs(spark, sf_dir)
     # exact dedup: 8-byte content-hash shuffle, min doc_id survives (the
     # oracle groups on md5(text) — an equivalent partition of identical
     # texts, the pipeline_pretrain_corpus convention)

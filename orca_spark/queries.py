@@ -276,6 +276,13 @@ from orca_spark.operators import analytics6  # noqa: F401
 from orca_spark.operators import pipeline4  # noqa: F401
 from orca_spark.operators import mixture3  # noqa: F401
 
+# r10: two registrations (r09 verdict item 8), so the prefix's other 48
+# slots retire the r03 cohort and start on r04: the incremental (IVM)
+# curation-manifest delta against frozen history artifacts, and the
+# streaming ingest -> gate -> exact-dedup TWS job.
+from orca_spark.operators import pipeline5  # noqa: F401
+from orca_spark.streaming import jobs12  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

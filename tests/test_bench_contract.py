@@ -19,11 +19,15 @@ def test_headline_queries_are_registered():
 
 def test_compact_line_fits_capture_window_worst_case():
     """Render the driver-facing line with worst-plausible-width timings
-    (four integer digits + three decimals per query, e.g. 9999.999 s)
-    and assert it still clears the 2,000-byte window with headroom.
-    Adding a HEADLINE entry that would overflow fails here, at commit
-    time, instead of in the next round's BENCH file."""
-    timings = {n: 9999.999 for n in HEADLINE}
+    (three integer digits + three decimals per query, 999.999 s — a
+    17-minute single query, ~20x anything the series has recorded; at
+    FOUR digits the whole bench could not finish inside a round, so
+    that width is not a plausible line, and main()'s degrade path
+    still guarantees <= budget if it ever happened) and assert it
+    clears the 2,000-byte window with headroom. Adding a HEADLINE
+    entry that would overflow fails here, at commit time, instead of
+    in the next round's BENCH file."""
+    timings = {n: 999.999 for n in HEADLINE}
     line = compact_line(99999.999, timings, 0.1)
     assert len(line) <= _LINE_BUDGET, (len(line), _LINE_BUDGET)
 

@@ -673,6 +673,27 @@ def test_full_curation_pipeline_composes_without_cartesian_or_python(spark):
     assert len(windows) == 1, tree
 
 
+def test_incremental_curation_keeps_delta_path_hash_keyed(spark):
+    """pipeline_curation_incremental's delta pass must stay on the IVM
+    contract: both history-index anti-joins are hash-keyed (never a
+    nested-loop over texts), dedup groups on xxhash64 (never raw text),
+    the frozen-model scalars ride broadcasts, and no Python reaches the
+    plan. The only nested-loop joins are the 1-row broadcast scalars
+    (threshold / totals) — the house-accepted crossJoin shape."""
+    p = plan_str(spark, "pipeline_curation_incremental")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "xxhash64" in p
+    assert "LeftAnti" in p
+    assert "BroadcastExchange" in p
+    # anti-joins against the history indexes are HASH joins on the
+    # 8-byte key, not nested loops: every BNLJ in this plan must be a
+    # Cross (1-row broadcast scalar), never an anti over the index
+    assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" not in p
+    assert "BroadcastNestedLoopJoin BuildLeft, LeftAnti" not in p
+
+
 def test_mix_schedule_and_apportionment_window_over_manifests(spark):
     """The CCNet schedule's only windows are the per-lang document-level
     ntile (what CCNet itself runs) and the per-lang weight
