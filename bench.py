@@ -217,6 +217,11 @@ def main() -> None:
         # reads the compiled steady state a deployment runs in; the
         # spread keeps the warmup cost visible.
         "embedding_near_dup_pairs_ivf": runs_per_query + 4,
+        # r10: a 3-run median caught this query's slow JIT-warmup tail
+        # (isolated samples 3.26 -> 1.41 -> 1.09 -> ~0.85 steady) and
+        # read 1.6s for a 0.88s steady state — extra runs so the median
+        # clears the tail
+        "asof_join_latest_order": runs_per_query + 4,
     }
     # conditionally-registered queries (the TWS family gates on a
     # protobuf runtime) must degrade to a visible skip, not a KeyError
@@ -259,31 +264,33 @@ def main() -> None:
             spreads[name] = round(samples[-1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)
-    spark.stop()
 
-    # Regression tripwire (VERDICT r05 #5): per-query delta vs the last
-    # driver-parsed bench; >1.5x risers are self-flagged in the detail
-    # sidecar instead of waiting for a judge to notice.
     # Host-speed calibration: a FIXED, code-independent workload (pure
     # numpy GEMM + a JVM aggregation over a generated range) timed the
-    # same way every round. When every query drifts by a uniform
-    # multiplier while this number drifts with it, the cause is the
-    # shared host's speed state, not a plan regression — the r09→r10
-    # ambiguity (driver smear 1.08x across untouched queries) becomes
-    # decidable by evidence instead of argument.
+    # same way every round, right after the query loop so it reads the
+    # same host state the timings did. When every query drifts by a
+    # uniform multiplier while this number drifts with it, the cause is
+    # the shared host's speed state, not a plan regression — the
+    # r09→r10 ambiguity (driver smear 1.08x across untouched queries)
+    # becomes decidable by evidence instead of argument.
     import numpy as _np
 
-    rng = _np.arange(1_048_576, dtype=_np.float64).reshape(1024, 1024) / 1e6
+    gemm = _np.arange(1_048_576, dtype=_np.float64).reshape(1024, 1024) / 1e6
     cal = []
     for _ in range(5):
         c0 = time.perf_counter()
-        (rng @ rng).sum()
+        (gemm @ gemm).sum()
         spark.range(0, 50_000_000, 1, 32).selectExpr(
             "sum(id * 3 + 1) as s"
         ).collect()
         cal.append(time.perf_counter() - c0)
     host_calibration = round(sorted(cal)[len(cal) // 2], 3)
 
+    spark.stop()
+
+    # Regression tripwire (VERDICT r05 #5): per-query delta vs the last
+    # driver-parsed bench; >1.5x risers are self-flagged in the detail
+    # sidecar instead of waiting for a judge to notice.
     prev_file, prev = _prev_parsed(here)
     deltas = {
         n: round(timings[n] / prev[n], 2)

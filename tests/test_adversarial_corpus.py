@@ -167,6 +167,11 @@ _DOC_QUERIES = [
     "pipeline_full_curation",
     "corpus_ccnet_mix_schedule",
     "corpus_token_budget_allocation",
+    # r10 registrations (both documents-driven; the streaming job is
+    # placed here like streaming_pysource_jsonl_ingest — the recorder
+    # skips streaming_, so the derived contract cannot see it)
+    "pipeline_curation_incremental",
+    "streaming_ingest_gate_dedup",
 ]
 
 

@@ -162,6 +162,11 @@ HEAVY = [
     "pipeline_full_curation",
     "corpus_ccnet_mix_schedule",
     "corpus_token_budget_allocation",
+    # r10: the incremental curation manifest (frozen-model delta
+    # scoring + manifest merge — both partition-order-sensitive) and
+    # the streaming ingest gate+dedup TWS job at the real transport
+    "pipeline_curation_incremental",
+    "streaming_ingest_gate_dedup",
 ]
 
 _Q = queries()
