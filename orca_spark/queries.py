@@ -283,6 +283,12 @@ from orca_spark.operators import mixture3  # noqa: F401
 from orca_spark.operators import pipeline5  # noqa: F401
 from orca_spark.streaming import jobs12  # noqa: F401
 
+# r10 batch 2: oracled real-container roundtrips — the WAV and Y4M
+# decoders synthesize genuine containers from doc_id and the oracle
+# states the closed-form expected features, converting the multimodal
+# family's weakest (rows-only) driver evidence to hash-checked rows.
+from orca_spark.operators import multimodal6  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -167,11 +167,13 @@ _DOC_QUERIES = [
     "pipeline_full_curation",
     "corpus_ccnet_mix_schedule",
     "corpus_token_budget_allocation",
-    # r10 registrations (both documents-driven; the streaming job is
+    # r10 registrations (all documents-driven; the streaming job is
     # placed here like streaming_pysource_jsonl_ingest — the recorder
     # skips streaming_, so the derived contract cannot see it)
     "pipeline_curation_incremental",
     "streaming_ingest_gate_dedup",
+    "multimodal_wav_roundtrip_features",
+    "multimodal_y4m_roundtrip_cuts",
 ]
 
 

@@ -167,6 +167,10 @@ HEAVY = [
     # the streaming ingest gate+dedup TWS job at the real transport
     "pipeline_curation_incremental",
     "streaming_ingest_gate_dedup",
+    # r10 batch 2: the oracled real-container roundtrips at bench scale
+    # (bigger Arrow batches through the real wave/Y4M parses)
+    "multimodal_wav_roundtrip_features",
+    "multimodal_y4m_roundtrip_cuts",
 ]
 
 _Q = queries()
