@@ -54,12 +54,28 @@ _DCT[0, :] *= np.sqrt(1.0 / _N)
 _DCT[1:, :] *= np.sqrt(2.0 / _N)
 
 
+_QUANT = 1024.0  # fixed-point grid (2^-10) for the median comparison
+
+
 def phash64(tile: np.ndarray) -> int:
     """64-bit perceptual hash of an 8x8 grayscale tile: 2-D DCT-II,
     then each coefficient's sign relative to the median of the 63
-    non-DC coefficients becomes one bit (row-major)."""
+    non-DC coefficients becomes one bit (row-major).
+
+    Coefficients are quantized to a 2^-10 fixed-point grid
+    (``floor(c*1024 + 0.5)`` — round-half-up, identical in every
+    engine) BEFORE the median/sign comparison. Without this, two
+    mathematically-equal coefficients that land at the median can
+    differ by one ulp depending on summation order (matmul pairwise
+    sums vs a plain loop — observed on real corpus data), so the same
+    tile bytes could hash differently across BLAS builds. A persisted
+    phash index probed by a later job (the incremental-dedup pattern)
+    needs bit-for-bit reproducibility; the grid is ~1e-3 wide, nine
+    orders above float noise, so only exact ties are affected and
+    those resolve to the same bit everywhere.
+    """
     coef = _DCT @ tile.astype(np.float64) @ _DCT.T
-    flat = coef.flatten()
+    flat = np.floor(coef.flatten() * _QUANT + 0.5)
     med = np.median(flat[1:])
     bits = flat > med
     out = 0

@@ -48,6 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from orca_spark.operators.multimodal4 import phash_table
 from orca_spark.operators.multimodal5 import (
     _AUDIO_SCHEMA,
     _VIDEO_SCHEMA,
@@ -199,3 +200,82 @@ def multimodal_y4m_roundtrip_cuts(
             yield video_scene_kernel(payloads)
 
     return ids.mapInPandas(run, schema=_VIDEO_SCHEMA)
+
+
+# The phash tile is four chained md5 digests of the text — exactly the
+# bytes DuckDB's md5() produces — so the oracle can re-derive the FULL
+# production hash independently: decode the 64 tile bytes from the hex
+# digests, run the 8x8 orthonormal DCT-II as an explicit 64-term
+# weighted sum per (k,l), quantize to the kernel's 2^-10 fixed-point
+# grid (floor(c*1024+0.5) — integers from here on, so the comparison
+# is exact), take the median of the 63 non-DC quantized coefficients
+# (63 is odd: the middle ELEMENT, no interpolation), and assemble the
+# 64 sign bits row-major MSB-first with HUGEINT shifts (``**`` returns
+# DOUBLE in DuckDB and corrupts the low bits; ``<<`` does not).
+_PHASH_PX_SQL = """list_transform(range(0,64), i ->
+  CAST((strpos('0123456789abcdef', substr(CASE WHEN i<16 THEN md5(text)
+       WHEN i<32 THEN md5(text||'a') WHEN i<48 THEN md5(text||'b')
+       ELSE md5(text||'c') END, (i%16)*2+1,1))-1)*16
+ + (strpos('0123456789abcdef', substr(CASE WHEN i<16 THEN md5(text)
+       WHEN i<32 THEN md5(text||'a') WHEN i<48 THEN md5(text||'b')
+       ELSE md5(text||'c') END, (i%16)*2+2,1))-1) AS DOUBLE))"""
+
+
+@register(
+    "multimodal_phash_dct_roundtrip",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_PHASH_PX_SQL} AS px
+            FROM documents WHERE text IS NOT NULL
+        ),
+        coef AS (
+            SELECT doc_id, k, l,
+                   floor((CASE WHEN k=0 THEN sqrt(0.125)
+                               ELSE sqrt(0.25) END)
+                       * (CASE WHEN l=0 THEN sqrt(0.125)
+                               ELSE sqrt(0.25) END)
+                       * sum(px[i+1] * cos(pi()*k*(2*(i//8)+1)/16.0)
+                                     * cos(pi()*l*(2*(i%8)+1)/16.0))
+                       * 1024.0 + 0.5) AS q
+            FROM t,
+                 UNNEST(range(8)) AS kk(k),
+                 UNNEST(range(8)) AS ll(l),
+                 UNNEST(range(64)) AS ii(i)
+            GROUP BY doc_id, k, l
+        ),
+        med AS (
+            SELECT doc_id,
+                   median(q) FILTER (WHERE NOT (k=0 AND l=0)) AS m
+            FROM coef GROUP BY doc_id
+        ),
+        bits AS (
+            SELECT coef.doc_id,
+                   sum(CASE WHEN q > m
+                       THEN CAST(1 AS HUGEINT) << CAST(63-(k*8+l) AS INT)
+                       ELSE CAST(0 AS HUGEINT) END) AS u
+            FROM coef JOIN med ON coef.doc_id = med.doc_id
+            GROUP BY coef.doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                    THEN u - (CAST(1 AS HUGEINT) << 64)
+                    ELSE u END AS BIGINT) AS phash
+        FROM bits
+    """,
+    description="ORACLED DCT perceptual-hash roundtrip: the PRODUCTION "
+    "phash_table kernel (the same BLAS matrix-multiply DCT that feeds "
+    "multimodal_phash_neardup's banded pair search) runs over every "
+    "document's chained-md5 tile, and the oracle re-derives the hash "
+    "INDEPENDENTLY — explicit 64-term DCT sums, the 2^-10 fixed-point "
+    "quantization, the 63-element median, HUGEINT bit assembly — so "
+    "all 64 bits of every hash are value-checked by the driver; a "
+    "basis, normalization, median, quantization, or bit-order "
+    "regression fails the hash. The quantization exists because "
+    "summation order (pairwise matmul vs plain loop) flips one-ulp "
+    "ties at the median on real corpus data",
+)
+def multimodal_phash_dct_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return phash_table(docs)

@@ -174,6 +174,7 @@ _DOC_QUERIES = [
     "streaming_ingest_gate_dedup",
     "multimodal_wav_roundtrip_features",
     "multimodal_y4m_roundtrip_cuts",
+    "multimodal_phash_dct_roundtrip",
 ]
 
 

@@ -171,6 +171,11 @@ HEAVY = [
     # (bigger Arrow batches through the real wave/Y4M parses)
     "multimodal_wav_roundtrip_features",
     "multimodal_y4m_roundtrip_cuts",
+    # r10 batch 3: all 64 bits of the production DCT phash per document,
+    # re-derived independently by the oracle — the class of query the
+    # 2^-10 quantization exists for (summation-order ulp ties at the
+    # median, observed on real corpus data at sf0.001)
+    "multimodal_phash_dct_roundtrip",
 ]
 
 _Q = queries()
