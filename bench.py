@@ -120,6 +120,10 @@ HEADLINE = [
     # ingest -> gate -> exact-dedup TWS job
     "pipeline_curation_incremental",
     "streaming_ingest_gate_dedup",
+    # r10 batch 3: the full-corpus Arrow DCT pass behind both the
+    # banded phash near-dup and its new bit-exact oracle roundtrip —
+    # the multimodal family's heaviest per-document kernel
+    "multimodal_phash_dct_roundtrip",
 ]
 
 # Hard ceiling for the final stdout line; the driver keeps the last

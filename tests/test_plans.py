@@ -642,8 +642,17 @@ def test_prefix_suffix_join_is_equi_hash_not_cartesian(spark):
 
 def test_audio_video_kernels_are_arrow_batched_maps(spark):
     """The modality kernels are single mapInPandas passes: Arrow
-    batched (never row-at-a-time BatchEvalPython), no shuffle."""
-    for name in ["multimodal_audio_features", "multimodal_video_scene_cuts"]:
+    batched (never row-at-a-time BatchEvalPython), no shuffle. The
+    roundtrip forms (synthesize -> production kernel) must keep the
+    same shape — a shuffle or Python row loop creeping into a
+    per-document pass would be a scale regression at any corpus size."""
+    for name in [
+        "multimodal_audio_features",
+        "multimodal_video_scene_cuts",
+        "multimodal_wav_roundtrip_features",
+        "multimodal_y4m_roundtrip_cuts",
+        "multimodal_phash_dct_roundtrip",
+    ]:
         p = plan_str(spark, name)
         assert "MapInPandas" in p, name
         assert "BatchEvalPython" not in p, name
