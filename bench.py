@@ -124,6 +124,11 @@ HEADLINE = [
     # banded phash near-dup and its new bit-exact oracle roundtrip —
     # the multimodal family's heaviest per-document kernel
     "multimodal_phash_dct_roundtrip",
+    # NOT added: dedup_span_scrub (r10 batch 4) — the worst-case
+    # line-budget guard reads 1969/1950 bytes at 57 entries, so the
+    # headline is at capacity; the query is covered by the sf0.1
+    # value-exact lane every round instead (0.5 s there), and the next
+    # swap-in should replace a retired entry rather than grow the list
 ]
 
 # Hard ceiling for the final stdout line; the driver keeps the last

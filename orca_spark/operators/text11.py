@@ -152,3 +152,141 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("pr") >= _GATE_PCT) | (F.col("n_words") == F.col("mx")))
         .select("doc_id", "source", "n_words", "pr")
     )
+
+
+@register(
+    "dedup_span_scrub",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+            SELECT doc_id, i,
+                   array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}),
+                                   ' ') AS gram
+            FROM toks,
+                 UNNEST(generate_series(1, len(toks) - {_SPAN_N - 1})) AS g(i)
+            WHERE len(toks) >= {_SPAN_N}
+        ),
+        gd AS (SELECT gram FROM grams
+               GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        cov AS (SELECT DISTINCT g.doc_id, u.t AS idx
+                FROM grams g JOIN gd USING (gram),
+                     UNNEST(generate_series(g.i, g.i + {_SPAN_N - 1})) AS u(t)),
+        nsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scrubbed
+                FROM cov GROUP BY doc_id),
+        pos AS (SELECT t.doc_id, p.i AS idx, t.toks[p.i] AS tok
+                FROM toks t,
+                     UNNEST(generate_series(1, len(t.toks))) AS p(i)),
+        keep AS (
+            SELECT p.doc_id,
+                   md5(coalesce(string_agg(p.tok, ' ' ORDER BY p.idx), ''))
+                       AS kept_md5
+            FROM pos p
+            LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.idx = p.idx
+            WHERE c.idx IS NULL
+            GROUP BY p.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(nsc.n_scrubbed, 0) AS BIGINT) AS n_scrubbed,
+               CAST(CASE WHEN len(t.toks) = 0 THEN NULL
+                    ELSE coalesce(nsc.n_scrubbed, 0) * 1000000
+                         // len(t.toks) END AS BIGINT) AS scrubbed_ppm,
+               coalesce(keep.kept_md5, md5('')) AS kept_md5
+        FROM toks t
+        LEFT JOIN nsc USING (doc_id)
+        LEFT JOIN keep USING (doc_id)
+    """,
+    description=f"span-level scrubbing (the ACTION form of "
+    f"dedup_span_coverage — Lee et al. 2022's ExactSubstr dedup at "
+    f"word-{_SPAN_N}-gram granularity): every token covered by a gram "
+    "that also appears in another document is excised, and each "
+    "document reports its token count, scrubbed-token count, exact "
+    "scrubbed_ppm (BIGINT; NULL for zero-token docs), and the md5 of "
+    "the surviving tokens space-joined in order — so the driver "
+    "value-checks the reconstructed text, not just the accounting; "
+    "docs shorter than the gram width pass through unscrubbed",
+)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the same never-pairwise shape as the diagnostic sibling —
+    gram-keyed shuffle for the cross-doc count, join-back to the
+    (positioned) gram stream, a bounded {_SPAN_N}x explode of duplicate
+    span STARTS into covered indices, one distinct and one anti-join
+    both keyed (doc_id, idx), and a doc-keyed final aggregate whose
+    kept-text order is pinned by array_sort on (idx, tok) structs.
+    Gram keys stay strings for oracle parity; at 100 TB key by
+    ``xxhash64(gram)`` (8-byte shuffle keys) and persist the gram
+    stream between its two consumers, exactly as the sibling's note
+    says. The 1e6 ppm is integer div — cross-engine exact."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
+    )
+    grams = toks.where(F.size("toks") >= _SPAN_N).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {_SPAN_N})))"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram")
+    )
+    cov = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(_SPAN_N - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    nsc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_scrubbed"))
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("idx"), "tok")
+    keep = (
+        pos.join(cov, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(idx, tok))), s -> s.tok)"
+                    ),
+                )
+            ).alias("kept_md5")
+        )
+    )
+    return (
+        toks.join(nsc, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_scrubbed"), F.lit(0))
+            .cast("long")
+            .alias("n_scrubbed"),
+            F.when(F.size("toks") == 0, F.lit(None))
+            .otherwise(
+                F.expr(
+                    "coalesce(n_scrubbed, 0) * 1000000 div size(toks)"
+                )
+            )
+            .cast("long")
+            .alias("scrubbed_ppm"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )

@@ -175,6 +175,7 @@ _DOC_QUERIES = [
     "multimodal_wav_roundtrip_features",
     "multimodal_y4m_roundtrip_cuts",
     "multimodal_phash_dct_roundtrip",
+    "dedup_span_scrub",
 ]
 
 

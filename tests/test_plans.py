@@ -631,6 +631,18 @@ def test_chi2_broadcasts_marginals_no_cartesian(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_span_scrub_never_pairwise_no_python(spark):
+    """The scrub action keeps the diagnostic sibling's shape: gram- and
+    (doc,idx)-keyed hash shuffles only — a cartesian/nested-loop pair
+    join or a Python row loop creeping in would be the scale killer the
+    family forbids."""
+    p = plan_str(spark, "dedup_span_scrub")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
 def test_prefix_suffix_join_is_equi_hash_not_cartesian(spark):
     """The boundary join must be an equality join on the boundary key
     (hash or sort-merge), never all-pairs."""

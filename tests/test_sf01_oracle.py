@@ -176,6 +176,10 @@ HEAVY = [
     # 2^-10 quantization exists for (summation-order ulp ties at the
     # median, observed on real corpus data at sf0.001)
     "multimodal_phash_dct_roundtrip",
+    # r10 batch 4: the span-scrub ACTION (gram-keyed shuffles, covered-
+    # index distinct, order-pinned kept-text reconstruction — three
+    # partition-order-sensitive stages in one plan)
+    "dedup_span_scrub",
 ]
 
 _Q = queries()
