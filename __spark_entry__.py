@@ -32,21 +32,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-def _evidence_priority() -> dict[str, int]:
-    """Per-query scheduling key from the committed CORRECTNESS evidence:
+def _evidence_paths() -> list[str]:
+    """Every committed-or-dropped CORRECTNESS file, oldest round first."""
+    return sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+
+
+def _parse_evidence(paths: list[str]) -> dict[str, int]:
+    """Parse CORRECTNESS files into a per-query scheduling key:
     -1 (verify first) for queries never green OR whose latest driver row
     was a crash/mismatch (a regression must re-enter the prefix), else
     the round of the most recent green row (oldest re-verified first).
 
-    Parsed once per process — both queries() and oracle_sql() share it.
     A malformed evidence file (wrong shape, unreadable, bad JSON) is
     skipped, never fatal: this runs inside the driver's entry import.
     """
-    if _evidence_priority.cache is not None:
-        return _evidence_priority.cache
     last_green: dict[str, int] = {}
     last_seen: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+    for path in paths:
         try:
             rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
             with open(path) as f:
@@ -66,17 +68,74 @@ def _evidence_priority() -> dict[str, int]:
         except (ValueError, OSError, TypeError, AttributeError,
                 json.JSONDecodeError):
             continue
-    prio = {
+    return {
         name: (last_green[name]
                if name in last_green and last_green[name] >= last_seen[name]
                else -1)
         for name in last_seen
     }
-    _evidence_priority.cache = prio
-    return prio
+
+
+def _evidence_priority() -> dict[str, int]:
+    """Cached `_parse_evidence` over everything on disk — both queries()
+    and oracle_sql() share one parse per process."""
+    if _evidence_priority.cache is None:
+        _evidence_priority.cache = _parse_evidence(_evidence_paths())
+    return _evidence_priority.cache
 
 
 _evidence_priority.cache = None
+
+
+def _current_fingerprints() -> dict[str, str]:
+    """Per-query content fingerprint: sha256 over the registered function's
+    source + its oracle SQL. Approximate by design (helper-function edits
+    aren't captured), but it catches the failure mode that bit round 10:
+    a query whose plan/oracle changed while its driver evidence stayed
+    green-at-an-old-round, so the rotation treated it as merely stale.
+    """
+    import hashlib
+    import inspect
+
+    from orca_spark.registry import REGISTRY
+
+    fps: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            src = ""
+        blob = src + "\0" + (spec.oracle or "")
+        fps[name] = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    return fps
+
+
+def _changed_since_green() -> frozenset[str]:
+    """Queries whose current fingerprint differs from the one recorded at
+    their last green driver row (FINGERPRINTS.json, refreshed by
+    tools/gen_inventory.py at round start from the newest CORRECTNESS
+    drop). Missing entries count as unchanged; any failure here must
+    degrade to 'nothing changed', never break the driver's entry import.
+    """
+    if _changed_since_green.cache is not None:
+        return _changed_since_green.cache
+    changed: set[str] = set()
+    try:
+        with open(os.path.join(_HERE, "FINGERPRINTS.json")) as f:
+            stored = json.load(f)
+        if isinstance(stored, dict):
+            current = _current_fingerprints()
+            changed = {
+                n for n, fp in current.items()
+                if n in stored and stored[n] != fp
+            }
+    except (OSError, ValueError, TypeError, json.JSONDecodeError):
+        changed = set()
+    _changed_since_green.cache = frozenset(changed)
+    return _changed_since_green.cache
+
+
+_changed_since_green.cache = None
 
 
 def verification_order(names: list[str]) -> list[str]:
@@ -92,15 +151,29 @@ def verification_order(names: list[str]) -> list[str]:
     1. queries with no green driver row ever — or whose LATEST driver
        row regressed (crash/mismatch after an earlier green) — in
        registry order;
-    2. then green queries, oldest verification round first (true
-       round-robin re-verification), registry order as tiebreak.
+    2. then queries whose code/oracle fingerprint no longer matches the
+       one recorded at their last green row (r10 verdict item 2: a
+       semantics change must re-enter the prefix immediately, not wait
+       out the round-robin while stale evidence vouches for old code);
+    3. then green unchanged queries, oldest verification round first
+       (true round-robin re-verification), registry order as tiebreak.
 
     A row counts as green only if the value-hash matched or the driver
     recorded the documented ``no_oracle`` rows-only pass.
     """
     prio = _evidence_priority()
+    changed = _changed_since_green()
     order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (prio.get(n, -1), order[n]))
+
+    def key(n: str):
+        p = prio.get(n, -1)
+        if p == -1:
+            return (0, 0, order[n])
+        if n in changed:
+            return (1, p, order[n])
+        return (2, p, order[n])
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

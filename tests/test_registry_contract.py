@@ -78,17 +78,45 @@ def test_operators_inventory_in_sync():
 def test_operators_staleness_dashboard_current():
     """OPERATORS.md carries the generated re-verification-debt histogram
     (r08 verdict item 7); it must match what gen_inventory would emit
-    from the committed CORRECTNESS evidence right now."""
+    from the committed CORRECTNESS evidence right now.
+
+    One known benign skew is tolerated (r10 verdict item 1, the same red
+    test two rounds running): the driver drops CORRECTNESS_r{N}.json
+    AFTER the builder's final commit, so at the round boundary exactly
+    one newer UNTRACKED evidence file post-dates the committed dashboard.
+    Accept the line computed without that one file; any other divergence
+    (two untracked files, a stale tracked file, a hand-edited line) still
+    fails."""
+    import os
+    import subprocess
     import sys
 
     sys.path.insert(0, "tools")
+    import __spark_entry__ as entry
     from gen_inventory import staleness_line
 
     with open("OPERATORS.md") as f:
         ops = f.read()
     line = staleness_line()
-    assert line in ops, (
+    if line in ops:
+        return
+    untracked = subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard",
+         "CORRECTNESS_r*.json"],
+        capture_output=True, text=True, cwd=".",
+    ).stdout.split()
+    paths = entry._evidence_paths()
+    assert (
+        len(untracked) == 1
+        and paths
+        and os.path.basename(paths[-1]) == untracked[0]
+    ), (
         f"stale dashboard — rerun tools/gen_inventory.py; expected: {line}"
+    )
+    tolerated = staleness_line(paths[:-1])
+    assert tolerated in ops, (
+        "stale dashboard beyond the one-file round-boundary tolerance — "
+        f"rerun tools/gen_inventory.py; expected {line} or {tolerated}"
     )
 
 
@@ -159,8 +187,10 @@ def test_verification_prefix_self_rotates():
 
     - every query the registry knows is in the adapter's order exactly once;
     - no ever-green query precedes a never-green one;
-    - among green queries, an older last-green round never follows a
-      newer one;
+    - among green UNCHANGED queries, an older last-green round never
+      follows a newer one (queries flagged changed-since-green sit in
+      their own tier between never-green and green — see
+      test_changed_code_tier_schedules_ahead_of_stale_green);
     - oracle_sql() iterates in the same order (the driver zips them).
     """
     import __spark_entry__ as entry_mod
@@ -191,8 +221,13 @@ def test_verification_prefix_self_rotates():
         for n in last_seen
     }
 
-    keys = [prio.get(n, -1) for n in ordered]
+    changed = entry_mod._changed_since_green()
+    keys = [prio.get(n, -1) for n in ordered if n not in changed]
     assert keys == sorted(keys), "verification order must be oldest-green first"
+    never = [n for n in ordered if prio.get(n, -1) == -1]
+    assert all(ordered.index(n) < len(never) + len(changed) for n in never), (
+        "a never-green query sits behind the never-green+changed tiers"
+    )
 
     adapter_q = list(entry_mod.queries())
     assert adapter_q == ordered
@@ -320,3 +355,61 @@ def test_driver_verification_cadence_budget():
         f"stale driver evidence (> {budget} rounds old) for: {over} — "
         f"the re-verification rotation is not keeping up"
     )
+
+
+def test_changed_code_tier_schedules_ahead_of_stale_green():
+    """r10 verdict item 2: the rotation treated "stale evidence" and
+    "code changed since that evidence" identically. Now each query's
+    code+oracle fingerprint is recorded at its last green driver row
+    (FINGERPRINTS.json, refreshed by tools/gen_inventory.py at round
+    start), and a diverged fingerprint schedules the query AHEAD of
+    merely-stale green ones (behind never-green/regressed, which still
+    outrank everything)."""
+    import json
+
+    import __spark_entry__ as entry
+
+    with open("FINGERPRINTS.json") as f:
+        stored = json.load(f)
+    assert {n for n in stored if not n.startswith("_")} == set(REGISTRY), (
+        "FINGERPRINTS.json out of sync with the registry — rerun "
+        "tools/gen_inventory.py"
+    )
+
+    changed = entry._changed_since_green()
+    assert changed <= set(REGISTRY)
+    names = entry.verification_order(list(queries()))
+    prio = entry._evidence_priority()
+    pos = {n: i for i, n in enumerate(names)}
+    never = [n for n in names if prio.get(n, -1) == -1]
+    green_unchanged = [
+        n for n in names if prio.get(n, -1) != -1 and n not in changed
+    ]
+    max_never = max((pos[n] for n in never), default=-1)
+    min_green = min((pos[n] for n in green_unchanged), default=len(names))
+    for c in changed:
+        if prio.get(c, -1) == -1:
+            continue  # never-green already outranks the changed tier
+        assert max_never < pos[c] < min_green, (
+            f"{c} changed since its last green row but is not scheduled "
+            f"between the never-green and green-unchanged tiers"
+        )
+
+
+def test_fingerprints_detect_oracle_edit():
+    """The fingerprint must move when a query's oracle SQL changes —
+    otherwise the changed-code tier can never fire on a semantics edit."""
+    import dataclasses
+
+    import __spark_entry__ as entry
+
+    name = "q1_pricing_summary"
+    fps = entry._current_fingerprints()
+    spec = REGISTRY[name]
+    try:
+        REGISTRY[name] = dataclasses.replace(
+            spec, oracle=(spec.oracle or "") + " -- edited"
+        )
+        assert entry._current_fingerprints()[name] != fps[name]
+    finally:
+        REGISTRY[name] = spec

@@ -31,15 +31,18 @@ bounds instead.
 """
 
 
-def staleness_line() -> str:
+def staleness_line(paths: list[str] | None = None) -> str:
     """One generated line showing the re-verification debt at a glance
     (r08 verdict item 7): per registered query, the round of its most
     recent green driver row (never = no green row yet), histogrammed.
     Reuses the same evidence parse the verification rotation schedules
-    from, so the dashboard and the schedule cannot disagree."""
+    from, so the dashboard and the schedule cannot disagree. ``paths``
+    restricts the parse to a subset of CORRECTNESS files (the contract
+    test uses it to tolerate the round-boundary driver drop)."""
     import __spark_entry__ as entry
 
-    prio = entry._evidence_priority()
+    prio = (entry._evidence_priority() if paths is None
+            else entry._parse_evidence(paths))
     hist: dict[int, int] = {}
     for name in REGISTRY:
         hist[prio.get(name, -1)] = hist.get(prio.get(name, -1), 0) + 1
@@ -51,6 +54,58 @@ def staleness_line() -> str:
         "Verification staleness (latest green driver round per query): "
         + " ".join(parts)
     )
+
+
+def refresh_fingerprints() -> int:
+    """Update FINGERPRINTS.json — the per-query code/oracle fingerprint as
+    of each query's most recent green driver row (r10 verdict item 2).
+
+    Run at round start (before any code changes), when the current source
+    is exactly what the driver just verified: every query green in the
+    NEWEST CORRECTNESS file gets its stored fingerprint set to the
+    current one. Queries not green in that file keep their stored value,
+    so a semantics change stays flagged (`verification_order` tier 2)
+    until the driver re-hashes it. Missing entries bootstrap to current
+    (unchanged-by-assumption). Returns the number of flagged queries.
+    """
+    import json
+
+    import __spark_entry__ as entry
+
+    path = "FINGERPRINTS.json"
+    stored: dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+    current = entry._current_fingerprints()
+    paths = entry._evidence_paths()
+    newest_green: set[str] = set()
+    newest_round = 0
+    if paths:
+        newest = entry._parse_evidence(paths[-1:])
+        newest_round = int(
+            "".join(c for c in os.path.basename(paths[-1]) if c.isdigit())
+        )
+        newest_green = {n for n, rnd in newest.items() if rnd != -1}
+    # The newest-round refresh is one-shot per round (`_round` marker):
+    # the first run after the driver drops CORRECTNESS_r{N} sees pristine
+    # round-start code and records it as each green query's verified
+    # fingerprint; mid-round reruns (after code edits) must NOT re-absorb
+    # those edits or a changed query would silently unflag itself.
+    already_refreshed = stored.get("_round") == newest_round
+    for name in REGISTRY:
+        if (name in newest_green and not already_refreshed) or name not in stored:
+            stored[name] = current[name]
+    stored = {n: fp for n, fp in stored.items() if n in REGISTRY}
+    stored["_round"] = newest_round
+    with open(path, "w") as f:
+        json.dump(stored, f, indent=1, sort_keys=True)
+        f.write("\n")
+    flagged = sorted(n for n in REGISTRY
+                     if stored.get(n) not in (None, current[n]))
+    print(f"FINGERPRINTS.json: {len(stored) - 1} entries; "
+          f"changed-since-green: {flagged or 'none'}")
+    return len(flagged)
 
 
 def main() -> None:
@@ -94,6 +149,7 @@ def main() -> None:
     with open("USAGE.md", "w") as f:
         f.write(usage)
     print(f"OPERATORS.md: {len(rows)} rows; README counts: {n_q}/{n_o}")
+    refresh_fingerprints()
 
 
 if __name__ == "__main__":
