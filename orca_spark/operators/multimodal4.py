@@ -1,16 +1,26 @@
 """Perceptual-hash near-duplicate detection for the image modality.
 
 ``multimodal_phash_neardup`` extends the dedup family to images: each
-document's synthetic 8x8 grayscale tile (64 deterministic bytes from
-chained md5 of the text — the same JVM-side synthesis convention as
-the PPM operators; a real deployment feeds decoded thumbnails through
-the identical kernel) is reduced to a 64-bit DCT perceptual hash in an
-Arrow-batched ``mapInPandas`` kernel (type-II DCT as two 8x8 matrix
-multiplies — numpy BLAS, no per-row Python), and near-duplicate pairs
-are found by BANDED hamming search: the 64-bit hash splits into four
-16-bit bands, candidates collide on at least one band, and the exact
-hamming distance is verified with ``bit_count(xor)`` — JVM-side popcount
-on longs, never arrays.
+document's payload — since r11 a genuine 16x16 P6 PPM container run
+through the production decode→grayscale→8x8-resample chain
+(multimodal7.phash_ppm_table); before that a bare md5-derived tile —
+is reduced to a 64-bit DCT perceptual hash in an Arrow-batched
+``mapInPandas`` kernel (type-II DCT as two 8x8 matrix multiplies —
+numpy BLAS, no per-row Python), and near-duplicate pairs are found by
+BANDED hamming search: the 64-bit hash splits into four 16-bit bands,
+candidates collide on at least one band, and the exact hamming
+distance is verified with ``bit_count(xor)`` — JVM-side popcount on
+longs, never arrays.
+
+HASH-FORMAT HISTORY (a persisted index must be rebuilt across these
+breaks — r10 advisor note): r10 added the 2^-10 fixed-point
+quantization before the median (cross-BLAS bit stability); r11 switched
+the payload from bare md5 tiles to real PPM containers through the
+decode path, changing every emitted hash value once more. The format
+is now covered by two driver-hashed roundtrip oracles
+(multimodal_phash_dct_roundtrip for the DCT kernel on raw tiles,
+multimodal_phash_ppm_roundtrip for the full container chain), so any
+future break fails the driver hash instead of landing silently.
 
 Pigeonhole guarantee: hamming <= 3 flips at most 3 of 4 bands, so every
 such pair shares a band — exact recall at the emitted threshold
@@ -69,10 +79,17 @@ def phash64(tile: np.ndarray) -> int:
     differ by one ulp depending on summation order (matmul pairwise
     sums vs a plain loop — observed on real corpus data), so the same
     tile bytes could hash differently across BLAS builds. A persisted
-    phash index probed by a later job (the incremental-dedup pattern)
-    needs bit-for-bit reproducibility; the grid is ~1e-3 wide, nine
-    orders above float noise, so only exact ties are affected and
-    those resolve to the same bit everywhere.
+    phash index probed by a later job (dedup_phash_incremental) needs
+    bit-for-bit reproducibility; the grid is ~1e-3 wide, nine orders
+    above float noise. Strictly, quantization RELOCATES rather than
+    eliminates the tie point (a true value within ~1 ulp of a
+    half-integer boundary of the grid could still round differently),
+    but the grid moves the boundary off the values this tile family
+    produces — the observed equal-coefficient ties (e.g. the
+    all-equal non-DC case) land mid-bucket at +0.5 and resolve
+    identically; a tie within ~1 ulp of a grid boundary remains
+    theoretically possible, just not observed and nine orders less
+    likely than the unquantized median tie it replaced.
     """
     coef = _DCT @ tile.astype(np.float64) @ _DCT.T
     flat = np.floor(coef.flatten() * _QUANT + 0.5)
@@ -111,20 +128,25 @@ def phash_table(docs: DataFrame) -> DataFrame:
 
 @register(
     "multimodal_phash_neardup",
-    # no oracle: the DCT kernel has no SQL twin — behavior-tested in
-    # tests/test_r08_ops.py (identity, perturbation recall, unrelated
-    # separation) and rows-only checked by the driver
+    # no oracle here, but the hash values themselves ARE driver-hashed:
+    # multimodal_phash_ppm_roundtrip re-derives all 64 bits of every
+    # document's hash in SQL; this query's pair search is additionally
+    # behavior-tested in tests/test_r08_ops.py (identity, perturbation
+    # recall, unrelated separation)
     description="image near-dup via 64-bit DCT perceptual hash: each "
-    "document's deterministic 8x8 tile (chained-md5 synthesis, the "
-    "multimodal family's stand-in for decoded thumbnails) is hashed by "
-    "an Arrow-batched DCT kernel, then pairs are found by 4x16-bit "
+    "document's genuine 16x16 P6 PPM container runs the production "
+    "decode → integer-BT.601 grayscale → 8x8 block-mean resample → "
+    "DCT-phash chain (multimodal7; hash values driver-verified by "
+    "multimodal_phash_ppm_roundtrip), then pairs are found by 4x16-bit "
     "BAND collision + bit_count(xor) verify — exact recall at hamming "
     "<= 3 by pigeonhole, emitted up to <= 6; banded (never all-pairs), "
     "popcount on longs, one image pass",
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_spark.operators.multimodal7 import phash_ppm_table
+
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    hashes = phash_table(docs).localCheckpoint(eager=False)
+    hashes = phash_ppm_table(docs).localCheckpoint(eager=False)
     bands = hashes.select(
         "doc_id",
         "phash",

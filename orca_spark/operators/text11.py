@@ -201,9 +201,11 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN keep USING (doc_id)
     """,
     description=f"span-level scrubbing (the ACTION form of "
-    f"dedup_span_coverage — Lee et al. 2022's ExactSubstr dedup at "
-    f"word-{_SPAN_N}-gram granularity): every token covered by a gram "
-    "that also appears in another document is excised, and each "
+    f"dedup_span_coverage — the CROSS-DOCUMENT restriction of Lee et "
+    f"al. 2022's ExactSubstr dedup at word-{_SPAN_N}-gram granularity; "
+    "spans repeated only WITHIN one document survive by design): every "
+    "token covered by a gram that also appears in another document is "
+    "excised, and each "
     "document reports its token count, scrubbed-token count, exact "
     "scrubbed_ppm (BIGINT; NULL for zero-token docs), and the md5 of "
     "the surviving tokens space-joined in order — so the driver "

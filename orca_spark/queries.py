@@ -289,6 +289,13 @@ from orca_spark.streaming import jobs12  # noqa: F401
 # family's weakest (rows-only) driver evidence to hash-checked rows.
 from orca_spark.operators import multimodal6  # noqa: F401
 
+# r11: the image modality goes end-to-end real — genuine PPM containers
+# through decode → grayscale → resample → DCT phash with a full SQL
+# re-derivation oracle, plus the persisted-phash-index probe the hash's
+# bit-stability was built for (also fully oracled: determinism makes
+# even banded ANN recall SQL-replicable).
+from orca_spark.operators import multimodal7  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -176,6 +176,10 @@ _DOC_QUERIES = [
     "multimodal_y4m_roundtrip_cuts",
     "multimodal_phash_dct_roundtrip",
     "dedup_span_scrub",
+    # r11 registrations: the end-to-end real image path (PPM decode ->
+    # gray -> resample -> phash) and its persisted-index probe
+    "multimodal_phash_ppm_roundtrip",
+    "dedup_phash_incremental",
 ]
 
 

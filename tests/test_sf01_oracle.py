@@ -180,6 +180,12 @@ HEAVY = [
     # index distinct, order-pinned kept-text reconstruction — three
     # partition-order-sensitive stages in one plan)
     "dedup_span_scrub",
+    # r11: the image modality end-to-end — 500k md5-derived PPM bytes
+    # per 10k docs through the real decode/gray/resample/DCT chain with
+    # every hash bit oracle-re-derived, and the persisted-band-index
+    # probe whose recall the oracle replicates exactly
+    "multimodal_phash_ppm_roundtrip",
+    "dedup_phash_incremental",
 ]
 
 _Q = queries()
