@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from orca_spark.registry import register
+from orca_spark.registry import REGISTRY, register
 from orca_spark.tables import load
 
 _SPAN_N = 8  # word-gram width (Lee et al. use 50 BPE tokens; 8 words ~ parity)
@@ -245,6 +245,109 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cov = (
         grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(_SPAN_N - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    nsc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_scrubbed"))
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("idx"), "tok")
+    keep = (
+        pos.join(cov, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(idx, tok))), s -> s.tok)"
+                    ),
+                )
+            ).alias("kept_md5")
+        )
+    )
+    return (
+        toks.join(nsc, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_scrubbed"), F.lit(0))
+            .cast("long")
+            .alias("n_scrubbed"),
+            F.when(F.size("toks") == 0, F.lit(None))
+            .otherwise(
+                F.expr(
+                    "coalesce(n_scrubbed, 0) * 1000000 div size(toks)"
+                )
+            )
+            .cast("long")
+            .alias("scrubbed_ppm"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
+@register(
+    "dedup_span_scrub_hashed",
+    # Same oracle as dedup_span_scrub: the output exposes no hash, and
+    # grouping grams by xxhash64(gram) is equivalent to grouping by the
+    # gram string absent a 64-bit collision (probability ~ n_grams^2 /
+    # 2^65 — immaterial at any tested scale, and a collision would fail
+    # the driver hash loudly rather than silently).
+    oracle=REGISTRY["dedup_span_scrub"].oracle,
+    description=f"the 100 TB form of dedup_span_scrub the sibling's "
+    f"docstring promises: gram keys are xxhash64(gram) LONGS (8-byte "
+    f"shuffle keys, never the gram string), and the positioned gram "
+    f"stream is persisted between its two consumers (the cross-doc "
+    f"count and the join-back) so the corpus is tokenized once; output "
+    f"and oracle identical to the string-keyed sibling — word-"
+    f"{_SPAN_N}-gram cross-document ExactSubstr scrubbing with "
+    f"value-checked kept-text md5",
+)
+def dedup_span_scrub_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale contract (the reason this variant exists): every shuffle
+    key in the plan is a LONG — ``gram_h = xxhash64(gram)`` for the
+    duplicate count and its join-back, ``(doc_id, idx)`` for coverage
+    and the anti-join, ``doc_id`` for the final aggregate. The gram
+    STRING is projected away before the first exchange, so shuffle
+    width is independent of gram text size (~8 bytes vs ~50+). The
+    positioned (doc_id, i, gram_h) stream is localCheckpoint-persisted
+    and feeds both consumers without re-tokenizing. Asserted in
+    tests/test_plans.py: no gram string in any hashpartitioning."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
+    )
+    grams = (
+        toks.where(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(toks, i, {_SPAN_N}))))"
+                )
+            ).alias("p0", "gram_h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("i"), "gram_h")
+        .localCheckpoint(eager=False)  # tokenize once, consume twice
+    )
+    dup = (
+        grams.groupBy("gram_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram_h")
+    )
+    cov = (
+        grams.join(dup, "gram_h")
         .select(
             "doc_id",
             F.explode(

@@ -180,6 +180,7 @@ _DOC_QUERIES = [
     # gray -> resample -> phash) and its persisted-index probe
     "multimodal_phash_ppm_roundtrip",
     "dedup_phash_incremental",
+    "dedup_span_scrub_hashed",
 ]
 
 

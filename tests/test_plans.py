@@ -764,3 +764,24 @@ def test_pair_scan_scoring_is_stage_split(spark):
         assert ex is not None, f"{name}: no Exchange in the plan tree"
         assert jn is not None, f"{name}: no Join in the plan tree"
         assert ex < jn, f"{name}: rescore exchange not above the join"
+
+
+def test_span_scrub_hashed_shuffles_only_on_longs(spark):
+    """dedup_span_scrub_hashed exists to shuffle on xxhash64(gram)
+    LONGS instead of gram strings (r10 verdict item 6): no exchange in
+    its plan may be keyed on the gram text — keys must be gram_h /
+    (doc_id, idx) / doc_id only — and the hash must be computed
+    (xxhash64 present) before the first exchange."""
+    import re
+
+    p = plan_str(spark, "dedup_span_scrub_hashed")
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", p)
+    assert exchanges, "no exchanges found — plan shape changed?"
+    assert any("gram_h#" in e for e in exchanges), exchanges  # LONG key
+    for e in exchanges:
+        assert not re.search(r"\bgram#", e), e  # gram string never a key
+    # the xxhash64 computation itself lives above the localCheckpoint
+    # (lineage truncation hides it from the downstream plan), so assert
+    # it on the checkpointed stream's own logical plan: gram_h must be
+    # a LONG, which only xxhash64 produces in this pipeline
+    assert re.search(r"gram_h#\d+L", p), "gram_h is not a long column"

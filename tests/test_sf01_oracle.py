@@ -186,6 +186,8 @@ HEAVY = [
     # probe whose recall the oracle replicates exactly
     "multimodal_phash_ppm_roundtrip",
     "dedup_phash_incremental",
+    # r11: the 8-byte-shuffle-key form of span scrubbing at bench scale
+    "dedup_span_scrub_hashed",
 ]
 
 _Q = queries()
