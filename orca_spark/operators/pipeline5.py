@@ -82,6 +82,99 @@ from orca_spark.registry import register
 # newly-ingested batch at any sf (sf0.01: ids 400..499)
 _SPLIT_NUM, _SPLIT_DEN = 4, 5
 
+def dsir_scores(
+    tok: DataFrame,
+    cc: DataFrame,
+    ct: DataFrame,
+    scal: DataFrame,
+    tt: DataFrame,
+    frozen: bool,
+) -> DataFrame:
+    """Per-doc fixed-point DSIR score against a term-count model
+    (cc: per-term corpus counts, ct: per-term target counts, scal:
+    (total_c, v), tt: (total_t,)). ``frozen=True`` left-joins the model
+    — an unseen term costs c=0 and the add-1 smoothing absorbs it, the
+    apply-importance-weights-to-new-data shape (Xie 2023). Shared by
+    the batch IVM delta pass and the streaming curation twin (jobs13),
+    which reads the same model from its persisted parquet form."""
+    how = "left" if frozen else "inner"
+    cc_term = F.coalesce(F.col("c_c"), F.lit(0)) if frozen else F.col("c_c")
+    return (
+        tok.join(cc, "w", how)
+        .join(ct, "w", "left")
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (
+                            (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                            * (F.col("total_c") + F.col("v"))
+                        ).cast("double")
+                        / (
+                            (cc_term + 1)
+                            * (F.col("total_t") + F.col("v"))
+                        ).cast("double")
+                    )
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("dsir_e4")
+        )
+    )
+
+
+def group_manifest(corpus: DataFrame, per_doc: DataFrame) -> DataFrame:
+    """Per-(lang, source) manifest SUMS — associative, so any partition
+    of the corpus (history/delta, micro-batches) merges exactly."""
+    return (
+        corpus.select("doc_id", "lang", "source", "n_words")
+        .join(per_doc, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.sum("dsir_e4").cast("long").alias("sum_dsir_e4"),
+        )
+    )
+
+
+def finalize_manifest(merged: DataFrame) -> DataFrame:
+    """Weight/packing recompute over a merged manifest carrying
+    (lang, source, n_docs, n_tokens, sum_dsir_e4, n_docs_delta):
+    sqrt-temperature weights per lang, block capacities, merged DSIR
+    average from the associative sums. Shared by the batch IVM form
+    and the streaming twin — both must produce byte-identical output
+    from the same merged sums."""
+    rooted = _with_isqrt(merged)
+    wlang = W.partitionBy("lang")
+    return (
+        rooted.withColumn("_den", F.sum("root").over(wlang))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_docs_delta",
+            F.when(F.col("_den") == 0, F.lit(None))
+            .otherwise(F.expr("root * 1000000 div _den"))
+            .cast("long")
+            .alias("weight_ppm"),
+            F.expr(f"(n_tokens + {_BLOCK} - 1) div {_BLOCK}")
+            .cast("long")
+            .alias("n_blocks"),
+            # merged average from the associative sums: exact BIGINT sum,
+            # one double division by an exact count
+            F.round(F.col("sum_dsir_e4") * F.lit(1.0) / F.col("n_docs"))
+            .cast("long")
+            .alias("avg_dsir_e4"),
+        )
+    )
+
+
 _GATE_SQL = f"""
         base AS (
             SELECT doc_id, lang, source, text,
@@ -291,53 +384,7 @@ def pipeline_curation_incremental(
     scal = cc.agg(F.sum("c_c").alias("total_c"), F.count(F.lit(1)).alias("v"))
     tt = ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("total_t"))
 
-    def dsir_e4(tok: DataFrame, frozen: bool) -> DataFrame:
-        """Per-doc fixed-point DSIR; frozen=True left-joins the model
-        (unseen terms cost 0, the apply-to-new-data shape)."""
-        how = "left" if frozen else "inner"
-        cc_term = (
-            F.coalesce(F.col("c_c"), F.lit(0)) if frozen else F.col("c_c")
-        )
-        return (
-            tok.join(cc, "w", how)
-            .join(ct, "w", "left")
-            .crossJoin(F.broadcast(scal))
-            .crossJoin(F.broadcast(tt))
-            .groupBy("doc_id")
-            .agg(
-                F.round(
-                    F.avg(
-                        F.log(
-                            (
-                                (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-                                * (F.col("total_c") + F.col("v"))
-                            ).cast("double")
-                            / (
-                                (cc_term + 1)
-                                * (F.col("total_t") + F.col("v"))
-                            ).cast("double")
-                        )
-                    )
-                    * 10000
-                )
-                .cast("long")
-                .alias("dsir_e4")
-            )
-        )
-
-    def manifest(corpus: DataFrame, per_doc: DataFrame) -> DataFrame:
-        return (
-            corpus.select("doc_id", "lang", "source", "n_words")
-            .join(per_doc, "doc_id")
-            .groupBy("lang", "source")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum("n_words").cast("long").alias("n_tokens"),
-                F.sum("dsir_e4").cast("long").alias("sum_dsir_e4"),
-            )
-        )
-
-    h_manifest = manifest(h_corpus, dsir_e4(h_tok, frozen=False))
+    h_manifest = group_manifest(h_corpus, dsir_scores(h_tok, cc, ct, scal, tt, frozen=False))
 
     # --- the per-ingest delta pass
     d1 = d_kept.withColumn("h", F.xxhash64("text")).join(
@@ -351,7 +398,9 @@ def pipeline_curation_incremental(
     d_surv2 = d2.groupBy("p").agg(F.min("doc_id").alias("doc_id"))
     d_corpus = d2.join(d_surv2.select("doc_id"), "doc_id").drop("p")
     d_tok = d_corpus.select("doc_id", F.explode("toks").alias("w"))
-    d_manifest = manifest(d_corpus, dsir_e4(d_tok, frozen=True))
+    d_manifest = group_manifest(
+        d_corpus, dsir_scores(d_tok, cc, ct, scal, tt, frozen=True)
+    )
 
     # --- associative manifest merge + weight/packing recompute
     h = h_manifest.alias("h")
@@ -386,27 +435,4 @@ def pipeline_curation_incremental(
         .cast("long")
         .alias("n_docs_delta"),
     )
-    rooted = _with_isqrt(merged)
-    wlang = W.partitionBy("lang")
-    return (
-        rooted.withColumn("_den", F.sum("root").over(wlang))
-        .select(
-            "lang",
-            "source",
-            "n_docs",
-            "n_tokens",
-            "n_docs_delta",
-            F.when(F.col("_den") == 0, F.lit(None))
-            .otherwise(F.expr("root * 1000000 div _den"))
-            .cast("long")
-            .alias("weight_ppm"),
-            F.expr(f"(n_tokens + {_BLOCK} - 1) div {_BLOCK}")
-            .cast("long")
-            .alias("n_blocks"),
-            # merged average from the associative sums: exact BIGINT sum,
-            # one double division by an exact count
-            F.round(F.col("sum_dsir_e4") * F.lit(1.0) / F.col("n_docs"))
-            .cast("long")
-            .alias("avg_dsir_e4"),
-        )
-    )
+    return finalize_manifest(merged)

@@ -296,6 +296,12 @@ from orca_spark.operators import multimodal6  # noqa: F401
 # even banded ANN recall SQL-replicable).
 from orca_spark.operators import multimodal7  # noqa: F401
 
+# r11 batch 2: ingest → curation as one continuous contract — the
+# streaming twin of the incremental manifest, sharing pipeline5's
+# scorer/finalizer and its oracle verbatim (must import after pipeline5
+# so the oracle reuse sees the registered spec).
+from orca_spark.streaming import jobs13  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

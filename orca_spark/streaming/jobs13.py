@@ -1,0 +1,234 @@
+"""Streaming batch 13: ingest → curation as ONE continuous contract
+(r10 verdict item 8a) — the streaming twin of the incremental curation
+manifest.
+
+``pipeline_curation_incremental`` (pipeline5) proves the batch IVM
+shape: history summarized once into persisted artifacts, each ingest
+costing only its delta. This job runs the SAME contract as a stream:
+the history artifacts are genuinely WRITTEN TO PARQUET (the persistence
+pipeline5's docstring promises but computes inline), and the delta
+arrives as a file stream processed by ``foreachBatch`` micro-batches —
+two ``availableNow`` passes sharing one checkpoint, split on doc_id so
+arrival order matches the batch form's min-doc_id survivor rule and the
+job also exercises cross-invocation exactly-once file tracking (the
+jobs6 pattern).
+
+Each micro-batch:
+
+1. gates with ``pipeline4.gate_rows`` (the single shared gate
+   implementation — batch composites, jobs12, and this job can never
+   drift on gate semantics);
+2. anti-joins the PERSISTED exact-hash index (history hashes + hashes
+   accepted by earlier batches — the index grows by appends, the
+   jobs4 append-sink shape), then dedups within the batch;
+3. same for the prefix-fingerprint index;
+4. scores survivors with the FROZEN DSIR model read back from its
+   parquet form (``pipeline5.dsir_scores(frozen=True)``);
+5. appends its (lang, source) manifest SUMS to the manifest log.
+
+The final result folds the history manifest with every batch's sums
+(associative BIGINT adds) and recomputes the sqrt-temperature weights
+via ``pipeline5.finalize_manifest`` — so the stream must converge to
+BYTE-IDENTICAL output with the batch IVM operator, and the oracle IS
+``pipeline_curation_incremental``'s oracle, reused verbatim. That is
+the "one continuous contract" claim made executable: ingest through
+curation, streaming or batch, one hash.
+
+Scale: per-batch cost is the batch plus two 8-byte-hash anti-joins
+against parquet indexes (broadcast-sized here; bloom-pruned or
+state-store-backed at 100 TB — jobs12 holds the same index IN RocksDB
+state), vocab-keyed frozen-model joins with one-row broadcast scalars,
+and a model-sized manifest append. No history rescan anywhere.
+Reference parity: core.clj has no streaming (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_spark.operators.pipeline4 import _PREFIX_TOKS, gate_rows, gated_docs
+from orca_spark.operators.pipeline5 import (
+    _SPLIT_DEN,
+    _SPLIT_NUM,
+    dsir_scores,
+    finalize_manifest,
+    group_manifest,
+)
+from orca_spark.registry import REGISTRY, register
+
+
+def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_spark.operators.io_ops import scratch_path
+    from orca_spark.tables import load
+
+    base = scratch_path("stream_curation", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
+    exact_idx, prefix_idx = f"{base}/exact_idx", f"{base}/prefix_idx"
+    model_cc, model_ct = f"{base}/model_cc", f"{base}/model_ct"
+    model_scal = f"{base}/model_scal"
+    manifests = f"{base}/manifests"
+
+    # ---- one-time history summarization (the once-per-snapshot job):
+    # identical artifact construction to pipeline5, but genuinely
+    # persisted — the delta pass below reads ONLY these parquets.
+    kept = gated_docs(spark, sf_dir)
+    thr_val = kept.agg(
+        F.expr(f"max(doc_id) * {_SPLIT_NUM} div {_SPLIT_DEN}")
+    ).collect()[0][0]
+    if thr_val is None:
+        # nothing survives the gate: the oracle's thr CTE is NULL, both
+        # splits compare doc_id against NULL, and the manifest is empty
+        return finalize_manifest(
+            spark.createDataFrame(
+                [],
+                "lang string, source string, n_docs long, n_tokens long, "
+                "sum_dsir_e4 long, n_docs_delta long",
+            )
+        )
+    thr = int(thr_val)
+    h_kept = kept.where(F.col("doc_id") <= thr)
+    h_surv1 = h_kept.groupBy(F.xxhash64("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    h_exact = h_kept.join(h_surv1.select("doc_id"), "doc_id")
+    prefix = F.xxhash64(F.concat_ws(" ", F.slice("toks", 1, _PREFIX_TOKS)))
+    h_surv2 = h_exact.groupBy(prefix.alias("p")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    h_corpus = h_exact.join(h_surv2.select("doc_id"), "doc_id")
+    h_tok = h_corpus.select("doc_id", "source", F.explode("toks").alias("w"))
+    cc = h_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_c"))
+    from orca_spark.operators.curation2 import _DSIR_TARGET
+
+    ct = (
+        h_tok.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    scal = cc.agg(
+        F.sum("c_c").alias("total_c"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("total_t")))
+    h_surv1.select("h").write.parquet(exact_idx)
+    h_surv2.select("p").write.parquet(prefix_idx)
+    cc.write.parquet(model_cc)
+    ct.write.parquet(model_ct)
+    scal.write.parquet(model_scal)
+    h_manifest = group_manifest(
+        h_corpus,
+        dsir_scores(
+            h_tok,
+            cc,
+            ct,
+            scal.select("total_c", "v"),
+            scal.select("total_t"),
+            frozen=False,
+        ),
+    )
+    h_manifest.withColumn("n_docs_delta", F.lit(0).cast("long")).write.parquet(
+        manifests
+    )
+
+    # ---- the continuous ingest: raw delta docs stream in, curation
+    # runs per micro-batch against the persisted artifacts only.
+    docs = load(spark, sf_dir, "documents")
+    delta_raw = docs.where(F.col("doc_id") > thr)
+    mid_val = delta_raw.agg(
+        F.expr("min(doc_id) + (max(doc_id) - min(doc_id)) div 2")
+    ).collect()[0][0]
+
+    def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        gated = gate_rows(batch_df)
+        d1 = gated.withColumn("h", F.xxhash64("text")).join(
+            s.read.parquet(exact_idx), "h", "left_anti"
+        )
+        d_surv1 = d1.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        d_exact = d1.join(d_surv1.select("doc_id"), "doc_id")
+        d2 = d_exact.withColumn("p", prefix).join(
+            s.read.parquet(prefix_idx), "p", "left_anti"
+        )
+        d_surv2 = d2.groupBy("p").agg(F.min("doc_id").alias("doc_id"))
+        d_corpus = d2.join(d_surv2.select("doc_id"), "doc_id").localCheckpoint()
+        d_tok = d_corpus.select("doc_id", F.explode("toks").alias("w"))
+        mscal = s.read.parquet(model_scal)
+        d_manifest = group_manifest(
+            d_corpus,
+            dsir_scores(
+                d_tok,
+                s.read.parquet(model_cc),
+                s.read.parquet(model_ct),
+                mscal.select("total_c", "v"),
+                mscal.select("total_t"),
+                frozen=True,
+            ),
+        )
+        d_manifest.withColumn(
+            "n_docs_delta", F.col("n_docs").cast("long")
+        ).write.mode("append").parquet(manifests)
+        # grow the persisted indexes by the batch's accepted keys so the
+        # NEXT batch's anti-joins see them (append-only, never rewritten)
+        d_corpus.select("h").write.mode("append").parquet(exact_idx)
+        d_corpus.select("p").write.mode("append").parquet(prefix_idx)
+
+    # two availableNow passes over one checkpoint, split on doc_id so
+    # lower ids arrive first (the min-doc_id survivor rule's streaming
+    # equivalent: first-seen == min when arrival follows id order);
+    # an empty delta (mid NULL) skips the stream — the manifest is the
+    # history snapshot alone, matching the oracle's empty d_kept
+    if mid_val is not None:
+        mid = int(mid_val)
+        delta_raw.where(F.col("doc_id") <= mid).write.parquet(in_dir)
+        schema = spark.read.parquet(in_dir).schema
+
+        def run_pass() -> None:
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(in_dir)
+                .writeStream.foreachBatch(curate_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_pass()
+        delta_raw.where(F.col("doc_id") > mid).write.mode(
+            "append"
+        ).parquet(in_dir)
+        run_pass()
+
+    merged = (
+        spark.read.parquet(manifests)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("sum_dsir_e4").cast("long").alias("sum_dsir_e4"),
+            F.sum("n_docs_delta").cast("long").alias("n_docs_delta"),
+        )
+    )
+    return finalize_manifest(merged)
+
+
+register(
+    "streaming_curation_manifest",
+    # the whole point: the stream must converge to BYTE-IDENTICAL output
+    # with the batch IVM operator, so its oracle is reused verbatim
+    oracle=REGISTRY["pipeline_curation_incremental"].oracle,
+    description="streaming twin of pipeline_curation_incremental — "
+    "ingest → curation as one continuous contract: history artifacts "
+    "(exact-hash index, prefix index, frozen DSIR model, manifest sums) "
+    "genuinely persisted to parquet once, then the delta streams in via "
+    "foreachBatch (two availableNow passes, one checkpoint — "
+    "cross-invocation exactly-once), each micro-batch gating with the "
+    "shared gate_rows, anti-joining the persisted indexes (grown by "
+    "append as batches accept keys), scoring with the frozen model read "
+    "back from parquet, and appending associative manifest sums; the "
+    "final weight recompute is pipeline5.finalize_manifest and the "
+    "oracle is the batch operator's, verbatim — streaming and batch "
+    "curation share one driver hash",
+)(streaming_curation_manifest)

@@ -181,6 +181,7 @@ _DOC_QUERIES = [
     "multimodal_phash_ppm_roundtrip",
     "dedup_phash_incremental",
     "dedup_span_scrub_hashed",
+    "streaming_curation_manifest",
 ]
 
 

@@ -188,6 +188,9 @@ HEAVY = [
     "dedup_phash_incremental",
     # r11: the 8-byte-shuffle-key form of span scrubbing at bench scale
     "dedup_span_scrub_hashed",
+    # r11 batch 2: the streaming curation twin at bench scale — the
+    # persisted-artifact + foreachBatch path against the batch oracle
+    "streaming_curation_manifest",
 ]
 
 _Q = queries()
