@@ -126,13 +126,34 @@ def phash_table(docs: DataFrame) -> DataFrame:
     return tiles.mapInPandas(_phash_batches, "doc_id bigint, phash bigint")
 
 
+def _neardup_oracle() -> str:
+    """Full SQL twin (new in r11 — this query was rows-only from r08
+    through r10): the PPM phash chain is SQL-derivable end to end
+    (multimodal7._PPM_TILE_SQL), and the banded pair search is
+    deterministic, so the oracle replicates it EXACTLY — a pair is
+    emitted iff some 16-bit band of the xor is zero (the band-collision
+    condition) and the popcount is <= 6. The oracle's pair generation
+    is a naive cross join (fine for DuckDB at driver scale); the Spark
+    plan stays banded."""
+    from orca_spark.operators.multimodal7 import _PPM_TILE_SQL
+
+    return f"""
+        WITH {_PPM_TILE_SQL}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM ph a, ph b
+        WHERE a.doc_id < b.doc_id
+          AND (((xor(a.u, b.u) >> 0)  & 65535) = 0
+            OR ((xor(a.u, b.u) >> 16) & 65535) = 0
+            OR ((xor(a.u, b.u) >> 32) & 65535) = 0
+            OR ((xor(a.u, b.u) >> 48) & 65535) = 0)
+          AND bit_count(xor(a.phash, b.phash)) <= {_MAX_HAMMING}
+    """
+
+
 @register(
     "multimodal_phash_neardup",
-    # no oracle here, but the hash values themselves ARE driver-hashed:
-    # multimodal_phash_ppm_roundtrip re-derives all 64 bits of every
-    # document's hash in SQL; this query's pair search is additionally
-    # behavior-tested in tests/test_r08_ops.py (identity, perturbation
-    # recall, unrelated separation)
+    oracle=_neardup_oracle(),
     description="image near-dup via 64-bit DCT perceptual hash: each "
     "document's genuine 16x16 P6 PPM container runs the production "
     "decode → integer-BT.601 grayscale → 8x8 block-mean resample → "

@@ -55,9 +55,9 @@ def test_oracles_are_subset_with_known_exceptions():
         # zlib is deterministic but not expressible in SQL — planted
         # repetition/noise + determinism tests (tests/test_r08_ops.py)
         "text_compression_ratio",
-        # the DCT kernel has no SQL twin — identity/perturbation/
-        # separation behavior tests (tests/test_r08_ops.py)
-        "multimodal_phash_neardup",
+        # (multimodal_phash_neardup left this list in r11: the PPM phash
+        # chain became SQL-derivable, so the banded pair search gained a
+        # full cross-join oracle)
         # byte-level DSP / framed diffing have no SQL twin — planted
         # waveform and scene-cut fixtures (tests/test_r08_ops.py)
         "multimodal_audio_features",

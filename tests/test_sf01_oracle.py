@@ -191,6 +191,10 @@ HEAVY = [
     # r11 batch 2: the streaming curation twin at bench scale — the
     # persisted-artifact + foreachBatch path against the batch oracle
     "streaming_curation_manifest",
+    # r11 batch 3: the banded phash pair search, oracled for the first
+    # time (rows-only r08-r10) — at sf0.1 the oracle cross-joins 5000
+    # re-derived hashes while Spark stays banded
+    "multimodal_phash_neardup",
 ]
 
 _Q = queries()
