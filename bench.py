@@ -36,7 +36,6 @@ HEADLINE = [
     "events_sessionize",
     "dedup_exact",
     "dedup_minhash",
-    "text_word_frequencies",
     "similarity_brute_topk",
     "orc_roundtrip_agg",
     "asof_join_latest_order",
@@ -61,7 +60,6 @@ HEADLINE = [
     "embeddings_kmeans_distributed",
     "text_vocab_oov",
     "contrastive_hard_negatives",
-    "zorder_layout_roundtrip",
     # round-5 batch-2: the blocked+banded edit-distance verify (the
     # heaviest new scale path), the trigram language classifier, and
     # the as-of-backed temporal SCD2 state join
@@ -120,15 +118,22 @@ HEADLINE = [
     # ingest -> gate -> exact-dedup TWS job
     "pipeline_curation_incremental",
     "streaming_ingest_gate_dedup",
-    # r10 batch 3: the full-corpus Arrow DCT pass behind both the
-    # banded phash near-dup and its new bit-exact oracle roundtrip —
-    # the multimodal family's heaviest per-document kernel
-    "multimodal_phash_dct_roundtrip",
-    # NOT added: dedup_span_scrub (r10 batch 4) — the worst-case
-    # line-budget guard reads 1969/1950 bytes at 57 entries, so the
-    # headline is at capacity; the query is covered by the sf0.1
-    # value-exact lane every round instead (0.5 s there), and the next
-    # swap-in should replace a retired entry rather than grow the list
+    # r11 (headline at capacity — entries are SWAPPED, never grown):
+    # multimodal_phash_ppm_roundtrip REPLACES multimodal_phash_dct_-
+    # roundtrip (same DCT pass plus the real 48-md5 synthesis + netpbm
+    # decode + resample — strictly the heavier superset; the dct form
+    # keeps its sf0.1 value-exact lane); streaming_curation_manifest
+    # REPLACES text_word_frequencies (flat 0.1-0.2 s trivial agg for
+    # ten rounds — retired; the new entry is the round's composition
+    # flagship, tracked end-to-end like its pipeline siblings);
+    # dedup_span_scrub_hashed REPLACES zorder_layout_roundtrip (flat
+    # sub-second since r05 — retired; the hashed scrub is the 8-byte-
+    # shuffle-key scale form whose cost SHOULD be watched as data
+    # grows). dedup_span_scrub and dedup_phash_incremental stay
+    # lane-covered (sf0.1 value-exact every round) without timings.
+    "multimodal_phash_ppm_roundtrip",
+    "streaming_curation_manifest",
+    "dedup_span_scrub_hashed",
 ]
 
 # Hard ceiling for the final stdout line; the driver keeps the last
