@@ -75,7 +75,11 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- one-time history summarization (the once-per-snapshot job):
     # identical artifact construction to pipeline5, but genuinely
     # persisted — the delta pass below reads ONLY these parquets.
-    kept = gated_docs(spark, sf_dir)
+    # the gated corpus feeds the threshold agg plus four artifact
+    # builders — materialize it once instead of re-gating per consumer
+    # (in production the history summarization is its own job and this
+    # is its scan; here it keeps the inline form from paying 5x)
+    kept = gated_docs(spark, sf_dir).localCheckpoint(eager=False)
     thr_val = kept.agg(
         F.expr(f"max(doc_id) * {_SPLIT_NUM} div {_SPLIT_DEN}")
     ).collect()[0][0]
