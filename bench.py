@@ -130,7 +130,11 @@ HEADLINE = [
     # sub-second since r05 — retired; the hashed scrub is the 8-byte-
     # shuffle-key scale form whose cost SHOULD be watched as data
     # grows). dedup_span_scrub and dedup_phash_incremental stay
-    # lane-covered (sf0.1 value-exact every round) without timings.
+    # lane-covered (sf0.1 value-exact every round) without timings,
+    # as do the batch-3 registrations dedup_span_exactsubstr (same
+    # plan family as the two scrub entries already timed) and
+    # similarity_sq8_topk (the brute-topk shape on 4x-narrower data —
+    # bounded above by the similarity_brute_topk entry).
     "multimodal_phash_ppm_roundtrip",
     "streaming_curation_manifest",
     "dedup_span_scrub_hashed",

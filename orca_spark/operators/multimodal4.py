@@ -32,9 +32,11 @@ Scale contract: the pair generation is banded (never all-pairs); band
 buckets are capped by construction of the 16-bit keyspace, and the
 verify is a long-xor popcount. The hash kernel touches each image once.
 
-No oracle: the DCT kernel is not expressible in SQL — behavior-tested
-(planted identical / perturbed / unrelated images, recall floors) and
-rows-only checked by the driver.
+Fully oracled since r11: the whole chain (PPM pixels from md5 hex →
+integer luma → block-mean resample → DCT → quantized median bits →
+band collision → popcount verify) is re-derived in SQL, so the driver
+hash-checks values, not just row counts; behavior tests (planted
+identical / perturbed / unrelated images, recall floors) remain.
 
 Reference parity: core.clj has no image surface (SURVEY §2.5);
 multimodal-family extension (multimodal/multimodal2/multimodal3).

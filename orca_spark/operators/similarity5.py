@@ -1,0 +1,145 @@
+"""Scalar-quantized (int8) similarity search — the compressed-domain
+ANN path that is still EXACTLY oracle-able.
+
+``similarity_sq8_topk`` quantizes every embedding to 64 signed-byte
+codes with a per-vector symmetric scale (``q_i = floor(x_i·127/amax +
+0.5)``, ``amax = max|x_i|``) and ranks neighbors by the cosine of the
+QUANTIZED vectors. This is the standard memory/bandwidth scale lever
+(FAISS ``SQ8``): the corpus representation shrinks 4× vs float32 (16×
+vs the float64 compute form), scans move 4× less data, and the scoring
+dot is small-integer arithmetic.
+
+Why this one gets a full value oracle when PQ/LSH/IVF are rows-only:
+the per-vector scale CANCELS in the cosine, so the score is
+``dot(q_a,q_b) / (|q_a|·|q_b|)`` over small integers — every partial
+sum is an exact integer below 2^53 in ANY summation order, which makes
+the score bit-reproducible across Spark's codegen'd left-fold, numpy
+BLAS, and DuckDB's list kernels. The only float ops are the final two
+sqrts and one divide, identical IEEE everywhere, then round(4). The
+quantization itself is deterministic too: one multiply, one divide,
+one add, one floor per element over exactly-representable inputs.
+
+Scale contract: quantization is a narrow per-row map at the scan (no
+shuffle); the query set broadcasts; the corpus streams once; the only
+shuffle is the tiny per-query top-k window. Composes with the IVF
+bucketing in similarity.py — quantize within buckets for the full
+FAISS IVF+SQ8 shape (PQ's sibling, similarity2.py, already shows the
+bucketed candidate generation).
+
+Reference parity: the reference (core.clj) has no similarity surface;
+LLM-pipeline extension (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from orca_spark.operators.similarity import (
+    _N_QUERIES,
+    _TOP_K,
+    dot,
+    load_embeddings,
+)
+from orca_spark.registry import register
+
+_EMB_OK = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+
+
+def sq8_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, e) → (vec_id, q array<bigint>, qn double): symmetric
+    per-vector int8 codes and the L2 norm of the code vector. ``amax``
+    > 0 is a load_embeddings contract (zero-norm vectors excluded), so
+    the divide cannot hit zero. |x_i| ≤ amax ⇒ the code lands in
+    [-127, 127] with no clamp branch."""
+    return (
+        emb.withColumn(
+            "amax", F.array_max(F.transform("e", lambda x: F.abs(x)))
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(e, x ->"
+                " cast(floor(x * 127.0 / amax + 0.5) as bigint))"
+            ),
+        )
+        .withColumn("qn", F.sqrt(dot("q", "q", validated=True)))
+        .select("vec_id", "q", "qn")
+    )
+
+
+@register(
+    "similarity_sq8_topk",
+    oracle=f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE {_EMB_OK}
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CAST(list_transform(e, x ->
+                        floor(x * 127.0
+                              / list_max(list_transform(e, y -> abs(y)))
+                              + 0.5)) AS DOUBLE[]) AS q
+            FROM base
+        ),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(list_dot_product(a.q, b.q)
+                         / (sqrt(list_dot_product(a.q, a.q))
+                            * sqrt(list_dot_product(b.q, b.q))), 4)
+                       AS cosine_q
+            FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {_N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, cosine_q, rank
+        FROM (
+            SELECT query_id, neighbor_id, cosine_q,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_q DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        )
+        WHERE rank <= {_TOP_K}
+    """,
+    description=f"int8 scalar-quantized cosine top-{_TOP_K} for "
+    f"{_N_QUERIES} query vectors (FAISS-SQ8 shape): per-vector "
+    "symmetric codes floor(x*127/amax + 0.5), ranking on the cosine of "
+    "the CODE vectors (scales cancel) — small-integer dots are exact in "
+    "any summation order, so unlike PQ/LSH/IVF this compressed-domain "
+    "path is fully value-oracled; quantize is a narrow scan-side map "
+    "(4x less corpus bandwidth), queries broadcast, corpus streams once",
+)
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = sq8_quantize(load_embeddings(spark, sf_dir))
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("qn").alias("qqn"),
+        )
+    )
+    scored = emb.join(q, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        # integer dot cast to double is exact; rank on the ROUNDED value
+        # + id tiebreak, same determinism recipe as similarity_brute_topk
+        F.round(
+            dot("qq", "q", validated=True).cast("double")
+            / (F.col("qqn") * F.col("qn")),
+            4,
+        ).alias("cosine_q"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine_q", "rank")
+    )

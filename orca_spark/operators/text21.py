@@ -1,0 +1,203 @@
+"""Full-corpus ExactSubstr span dedup: the keep-one form of Lee et al.
+2022 over ALL duplicated grams, including repeats WITHIN one document.
+
+``dedup_span_scrub`` (text11) implements the cross-document restriction
+of ExactSubstr: a gram is duplicated only when ``count(DISTINCT doc_id)
+> 1``, and every occurrence of a duplicated gram is excised. The r10
+advisor note is right that the paper's operator differs on two axes:
+
+1. duplication counts OCCURRENCES, not documents — a boilerplate
+   footer repeated five times inside one page is exactly the
+   self-repeat ExactSubstr removes and the cross-doc form keeps;
+2. the paper removes "all but one" occurrence — a canonical copy of
+   each duplicated span survives, instead of the span vanishing from
+   the corpus entirely.
+
+``dedup_span_exactsubstr`` implements both at word-gram granularity:
+a gram with total occurrence count > 1 anywhere in the corpus is
+duplicated, its canonical occurrence is the corpus-FIRST position
+(minimum of the order-isomorphic key ``doc_id·2^32 + position``), and
+every NON-canonical occurrence's token span is scrubbed. Granularity
+caveat (shared with the whole text11 family, documented not hidden):
+the paper operates on maximal repeated substrings from a suffix array;
+at fixed gram width the cover is the union of per-gram decisions, so a
+token inside one gram's canonical span can still be excised by an
+overlapping OTHER duplicated gram whose canonical copy lives elsewhere
+— the kept text is a conservative (never-under-scrubbing) gram-granular
+approximation of the paper's.
+
+Output contract matches ``dedup_span_scrub`` exactly (n_tokens,
+n_scrubbed, integer scrubbed_ppm, kept-text md5) so the two forms are
+directly comparable per document, and the driver value-checks the
+reconstructed text of both.
+
+Reference parity: the reference (core.clj) has no text surface; this is
+an LLM-pipeline extension graded as an engine component (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_spark.registry import register
+from orca_spark.tables import load
+
+_SPAN_N = 8  # same gram width as the text11 family — outputs comparable
+_SHIFT = 1 << 32  # pk = doc_id * 2^32 + i : order-isomorphic to (doc_id, i)
+
+
+@register(
+    "dedup_span_exactsubstr",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+            SELECT doc_id, i,
+                   doc_id * {_SHIFT} + i AS pk,
+                   array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}),
+                                   ' ') AS gram
+            FROM toks,
+                 UNNEST(generate_series(1, len(toks) - {_SPAN_N - 1})) AS g(i)
+            WHERE len(toks) >= {_SPAN_N}
+        ),
+        gd AS (SELECT gram, min(pk) AS min_pk FROM grams
+               GROUP BY gram HAVING count(*) > 1),
+        cov AS (SELECT DISTINCT g.doc_id, u.t AS idx
+                FROM grams g JOIN gd USING (gram),
+                     UNNEST(generate_series(g.i, g.i + {_SPAN_N - 1})) AS u(t)
+                WHERE g.pk <> gd.min_pk),
+        nsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scrubbed
+                FROM cov GROUP BY doc_id),
+        pos AS (SELECT t.doc_id, p.i AS idx, t.toks[p.i] AS tok
+                FROM toks t,
+                     UNNEST(generate_series(1, len(t.toks))) AS p(i)),
+        keep AS (
+            SELECT p.doc_id,
+                   md5(coalesce(string_agg(p.tok, ' ' ORDER BY p.idx), ''))
+                       AS kept_md5
+            FROM pos p
+            LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.idx = p.idx
+            WHERE c.idx IS NULL
+            GROUP BY p.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(nsc.n_scrubbed, 0) AS BIGINT) AS n_scrubbed,
+               CAST(CASE WHEN len(t.toks) = 0 THEN NULL
+                    ELSE coalesce(nsc.n_scrubbed, 0) * 1000000
+                         // len(t.toks) END AS BIGINT) AS scrubbed_ppm,
+               coalesce(keep.kept_md5, md5('')) AS kept_md5
+        FROM toks t
+        LEFT JOIN nsc USING (doc_id)
+        LEFT JOIN keep USING (doc_id)
+    """,
+    description=f"FULL ExactSubstr form (Lee et al. 2022) at word-"
+    f"{_SPAN_N}-gram granularity — closes both gaps of the cross-doc "
+    "restriction (dedup_span_scrub): duplication counts total "
+    "OCCURRENCES (within-doc self-repeats qualify), and the paper's "
+    "'all but one' is honored — the corpus-first occurrence of each "
+    "duplicated gram (min doc_id*2^32+position) survives while every "
+    "other occurrence's span is excised; same accounting contract as "
+    "the sibling (n_tokens, n_scrubbed, integer scrubbed_ppm, kept-text "
+    "md5) so both forms compare per document; gram-granular cover-union "
+    "caveat documented in the module docstring",
+)
+def dedup_span_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical never-pairwise shape as dedup_span_scrub — one
+    gram-keyed shuffle whose aggregate now also carries ``min(pk)`` (an
+    8-byte map-side-combinable partial next to the count), the
+    join-back filtered to non-canonical occurrences, the bounded
+    {_SPAN_N}x span explode, (doc_id, idx)-keyed distinct + anti-join,
+    doc-keyed finale. Gram keys stay strings for oracle parity; the
+    100 TB form keys by xxhash64(gram) and persists the gram stream,
+    exactly as dedup_span_scrub_hashed demonstrates for the sibling.
+    ``pk = doc_id·2^32 + i`` is order-isomorphic to (doc_id, i) and
+    exact for doc_id < 2^31 — asserted once per DOCUMENT at the
+    tokenize boundary (O(docs), not O(grams)), because a silent BIGINT
+    overflow would silently move the canonical copy."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        F.expr(
+            "case when doc_id between 0 and 2147483647 then doc_id "
+            "else raise_error(concat('dedup_span_exactsubstr: doc_id ', "
+            "cast(doc_id as string), ' outside [0, 2^31) — pk packing "
+            "would overflow')) end"
+        ).alias("doc_id"),
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
+    )
+    grams = (
+        toks.where(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {_SPAN_N})))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("i"),
+            (F.col("doc_id") * F.lit(_SHIFT) + F.col("p0") + 1).alias("pk"),
+            "gram",
+        )
+    )
+    gd = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("pk").alias("min_pk"))
+        .where(F.col("cnt") > 1)
+        .select("gram", "min_pk")
+    )
+    cov = (
+        grams.join(gd, "gram")
+        .where(F.col("pk") != F.col("min_pk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(_SPAN_N - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    nsc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_scrubbed"))
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("idx"), "tok")
+    keep = (
+        pos.join(cov, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(idx, tok))), s -> s.tok)"
+                    ),
+                )
+            ).alias("kept_md5")
+        )
+    )
+    return (
+        toks.join(nsc, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_scrubbed"), F.lit(0))
+            .cast("long")
+            .alias("n_scrubbed"),
+            F.when(F.size("toks") == 0, F.lit(None))
+            .otherwise(
+                F.expr("coalesce(n_scrubbed, 0) * 1000000 div size(toks)")
+            )
+            .cast("long")
+            .alias("scrubbed_ppm"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )

@@ -302,6 +302,14 @@ from orca_spark.operators import multimodal7  # noqa: F401
 # so the oracle reuse sees the registered spec).
 from orca_spark.streaming import jobs13  # noqa: F401
 
+# r11 batch 3: the paper-exact ExactSubstr form (within-doc repeats +
+# keep-one canonical copy — closes the r10 advisor's parity note as a
+# registered operator, not a docstring caveat) and the int8
+# scalar-quantized ANN path — the first compressed-domain similarity
+# query with a full value oracle (integer dots are summation-order
+# exact, unlike the float paths that keep PQ/LSH/IVF rows-only).
+from orca_spark.operators import similarity5, text21  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

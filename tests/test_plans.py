@@ -785,3 +785,38 @@ def test_span_scrub_hashed_shuffles_only_on_longs(spark):
     # it on the checkpointed stream's own logical plan: gram_h must be
     # a LONG, which only xxhash64 produces in this pipeline
     assert re.search(r"gram_h#\d+L", p), "gram_h is not a long column"
+
+
+def test_exactsubstr_never_pairwise_no_python(spark):
+    """The paper-exact ExactSubstr form inherits the family's scale
+    contract: the extra canonical-copy logic is a min(pk) partial
+    inside the existing gram-keyed aggregate plus a filter on the
+    join-back — NOT a new join, and certainly not a pair join. Same
+    forbidden-node list as dedup_span_scrub."""
+    p = plan_str(spark, "dedup_span_exactsubstr")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    # min(pk) rides the same gram-keyed exchange as the count — a
+    # separate window/sort over the gram stream would double the cost
+    assert "partial_min" in p, "canonical-copy min is not map-side partial"
+
+
+def test_sq8_topk_broadcasts_queries_streams_corpus_once(spark):
+    """similarity_sq8_topk's scale shape: quantization is a narrow map
+    at the scan (no exchange below the scoring join), the bounded query
+    side broadcasts (non-equi join => BroadcastNestedLoop is the
+    CORRECT node here, with the tiny side broadcast), and the only hash
+    exchange is the per-query top-k window. No Python anywhere — the
+    quantizer is transform()/floor(), JVM-side codegen."""
+    p = plan_str(spark, "similarity_sq8_topk")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # queries broadcast, corpus streamed
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", p)
+    # the window's per-query shuffle is the ONLY hash exchange
+    assert all("query_id#" in e for e in exchanges), exchanges

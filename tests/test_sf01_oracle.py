@@ -195,6 +195,14 @@ HEAVY = [
     # time (rows-only r08-r10) — at sf0.1 the oracle cross-joins 5000
     # re-derived hashes while Spark stays banded
     "multimodal_phash_neardup",
+    # r11 batch 4: the paper-exact ExactSubstr form — same three
+    # partition-order-sensitive stages as dedup_span_scrub plus the
+    # min(pk) canonical-copy partial that must agree across combiners
+    "dedup_span_exactsubstr",
+    # r11 batch 4: int8 scalar-quantized top-k — integer dots are
+    # summation-order exact by construction; this lane proves the claim
+    # at 32 real partitions instead of trusting the arithmetic argument
+    "similarity_sq8_topk",
 ]
 
 _Q = queries()
