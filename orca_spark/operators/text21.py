@@ -121,8 +121,14 @@ def dedup_span_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow would silently move the canonical copy."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = docs.select(
+        # NULL passes through (dropped by the joins like every other
+        # NULL key — raising here would let filter/projection reordering
+        # abort on rows an upstream filter already excluded, the same
+        # hazard similarity._guard_width documents); only a genuinely
+        # out-of-range id raises
         F.expr(
-            "case when doc_id between 0 and 2147483647 then doc_id "
+            "case when doc_id is null then doc_id "
+            "when doc_id between 0 and 2147483647 then doc_id "
             "else raise_error(concat('dedup_span_exactsubstr: doc_id ', "
             "cast(doc_id as string), ' outside [0, 2^31) — pk packing "
             "would overflow')) end"

@@ -182,6 +182,11 @@ _DOC_QUERIES = [
     "dedup_phash_incremental",
     "dedup_span_scrub_hashed",
     "streaming_curation_manifest",
+    # r11 batch 3: the paper-exact ExactSubstr form — the nasty corpus
+    # is a real workout here ("tok "*2000 is one gram repeated 1993
+    # times WITHIN a doc, exactly the self-repeat class this operator
+    # exists to scrub)
+    "dedup_span_exactsubstr",
 ]
 
 

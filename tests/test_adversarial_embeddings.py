@@ -94,6 +94,11 @@ _EMB_QUERIES = [
     "similarity_lsh_topk",
     "similarity_norms",
     "similarity_pq_topk",
+    # r11: int8 scalar quantization — the degenerate magnitudes are the
+    # interesting inputs (1e6 and denormal vectors both quantize to the
+    # all-127 code; load_embeddings excludes the zero-norm one before
+    # the divide)
+    "similarity_sq8_topk",
 ]
 
 
