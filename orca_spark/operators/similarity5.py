@@ -143,3 +143,71 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine_q", "rank")
     )
+
+
+def _subq(sql: str) -> str:
+    """Wrap a registered oracle (itself a WITH...SELECT) so it can be a
+    CTE body — DuckDB accepts CTEs inside derived tables."""
+    return f"(SELECT * FROM ({sql}))"
+
+
+def _recall_oracle() -> str:
+    from orca_spark.registry import REGISTRY
+
+    brute = REGISTRY["similarity_brute_topk"].oracle
+    sq8 = REGISTRY["similarity_sq8_topk"].oracle
+    return f"""
+        WITH b AS {_subq(brute)},
+        s AS {_subq(sq8)},
+        ov AS (
+            SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM b JOIN s USING (query_id, neighbor_id)
+            GROUP BY b.query_id
+        ),
+        base AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_brute
+            FROM b GROUP BY query_id
+        )
+        SELECT base.query_id, base.n_brute,
+               CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+               CAST(coalesce(ov.n_overlap, 0) * 1000000 // base.n_brute
+                    AS BIGINT) AS recall_ppm
+        FROM base LEFT JOIN ov USING (query_id)
+    """
+
+
+@register(
+    "similarity_sq8_recall_audit",
+    oracle=_recall_oracle(),
+    description=f"index-QA composition: per-query recall@{_TOP_K} of "
+    "the int8 scalar-quantized ranking against exact brute-force cosine "
+    "— the audit you run on a sampled query set before trusting a "
+    "compressed index at scale; joins the two top-k sets on "
+    "(query_id, neighbor_id) and reports overlap + integer recall_ppm; "
+    "fully value-oracled because BOTH sides are (the first ANN recall "
+    "number in the registry the driver can hash, not just floor-assert)",
+)
+def similarity_sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the audit itself joins two k·|queries|-row frames — model-
+    sized regardless of corpus. The cost is the two upstream corpus
+    scans; at 100 TB run the audit on the SAME cached scan (both paths
+    consume load_embeddings(...) — persist it) or on a bounded query
+    sample, which is how recall audits are run in practice anyway."""
+    from orca_spark.registry import REGISTRY
+
+    brute = REGISTRY["similarity_brute_topk"].fn(spark, sf_dir)
+    sq8 = REGISTRY["similarity_sq8_topk"].fn(spark, sf_dir)
+    ov = (
+        brute.join(sq8, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_brute"))
+    return base.join(ov, "query_id", "left").select(
+        "query_id",
+        F.col("n_brute").cast("long").alias("n_brute"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.expr("coalesce(n_overlap, 0) * 1000000 div n_brute")
+        .cast("long")
+        .alias("recall_ppm"),
+    )

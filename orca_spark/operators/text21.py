@@ -207,3 +207,72 @@ def dedup_span_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
         )
     )
+
+
+def _selfrepeat_oracle() -> str:
+    from orca_spark.registry import REGISTRY
+
+    cross = REGISTRY["dedup_span_scrub"].oracle
+    paper = REGISTRY["dedup_span_exactsubstr"].oracle
+    return f"""
+        WITH a AS (SELECT * FROM ({cross})),
+        e AS (SELECT * FROM ({paper})),
+        src AS (SELECT doc_id, source FROM documents WHERE text IS NOT NULL)
+        SELECT src.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(a.n_scrubbed) AS BIGINT) AS crossdoc_scrubbed,
+               CAST(sum(e.n_scrubbed) AS BIGINT) AS exactsubstr_scrubbed,
+               CAST(sum(e.n_scrubbed) - sum(a.n_scrubbed) AS BIGINT)
+                   AS keepone_delta
+        FROM src
+        JOIN a USING (doc_id)
+        JOIN e USING (doc_id)
+        GROUP BY src.source
+    """
+
+
+@register(
+    "corpus_selfrepeat_profile",
+    oracle=_selfrepeat_oracle(),
+    description="per-source comparison of the two span-dedup policies: "
+    "tokens removed by the cross-document scrub vs the paper-exact "
+    "keep-one ExactSubstr form, aggregated by source with the signed "
+    "delta — positive delta is within-doc self-repeat mass the cross-"
+    "doc policy missed (templated/boilerplate-heavy sources), negative "
+    "is canonical-copy mass it over-removed; the policy-selection "
+    "signal a curation build reads before committing to either scrub",
+)
+def corpus_selfrepeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the profile adds two doc_id-keyed equi-joins and one
+    source-keyed aggregate on top of the two scrub pipelines — all
+    8-byte keys, all map-side combinable. The pipelines themselves
+    dominate; at 100 TB persist the tokenized/gram streams they share
+    (both consume the identical gram relation — the docstrings of both
+    registered forms state the persist point)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from orca_spark.registry import REGISTRY
+
+    cross = REGISTRY["dedup_span_scrub"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").alias("a_tokens"),
+        F.col("n_scrubbed").alias("a_scrubbed"),
+    )
+    paper = REGISTRY["dedup_span_exactsubstr"].fn(spark, sf_dir).select(
+        "doc_id", F.col("n_scrubbed").alias("e_scrubbed")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(cross, "doc_id")
+        .join(paper, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("a_tokens").cast("long").alias("n_tokens"),
+            F.sum("a_scrubbed").cast("long").alias("crossdoc_scrubbed"),
+            F.sum("e_scrubbed").cast("long").alias("exactsubstr_scrubbed"),
+            (F.sum("e_scrubbed") - F.sum("a_scrubbed"))
+            .cast("long")
+            .alias("keepone_delta"),
+        )
+    )

@@ -187,6 +187,10 @@ _DOC_QUERIES = [
     # times WITHIN a doc, exactly the self-repeat class this operator
     # exists to scrub)
     "dedup_span_exactsubstr",
+    # r11 batch 4: the policy-comparison profile over both span-dedup
+    # forms (the nasty within-doc repeat doc produces a large positive
+    # keepone_delta here)
+    "corpus_selfrepeat_profile",
 ]
 
 

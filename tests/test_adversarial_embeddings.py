@@ -99,6 +99,10 @@ _EMB_QUERIES = [
     # all-127 code; load_embeddings excludes the zero-norm one before
     # the divide)
     "similarity_sq8_topk",
+    # r11 batch 4: the SQ8-vs-brute recall audit — on the degenerate
+    # fixture both sides exclude the same pathological vectors, so the
+    # audit must still emit one row per surviving query
+    "similarity_sq8_recall_audit",
 ]
 
 

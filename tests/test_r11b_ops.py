@@ -200,3 +200,81 @@ def test_sq8_identical_vectors_score_exactly_one(spark, tmp_path):
     }
     assert got[11] == 1.0
     assert got[12] == got[13] != 1.0
+
+
+# ------------------------------------------------------- compositions
+
+
+def test_sq8_recall_audit_perfect_on_well_separated_corpus(spark, tmp_path):
+    """Widely separated vectors: quantization noise (~1e-3) cannot
+    reorder a top-5 whose margins are ~0.5, so the audit must report
+    recall_ppm = 1_000_000 for every query."""
+    rng = np.random.default_rng(3)
+    # 5 ORTHOGONAL cluster centers, 6 members each: every query's top-5
+    # is its 5 cluster-mates at cosine ~0.999 vs ~0 cross-cluster — the
+    # rank-5/rank-6 margin is ~1, unreachable by 1/127 quantization
+    # noise, so SET recall must be perfect (within-set rank may swap,
+    # which the audit correctly ignores)
+    base = np.linalg.qr(rng.normal(size=(64, 5)))[0].T
+    rows = [(i, _unit(base[i % 5] + 0.02 * rng.normal(size=64)), i % 5)
+            for i in range(30)]
+    sf = _write_embeddings(tmp_path, rows)
+    out = {r.query_id: r for r in
+           _Q["similarity_sq8_recall_audit"](spark, sf).collect()}
+    assert set(out) == set(range(10))
+    for qid, r in out.items():
+        assert r.n_brute == 5
+        assert r.recall_ppm == 1_000_000, (qid, r)
+
+
+def test_sq8_recall_audit_accounts_overlap_not_rank(spark, tmp_path):
+    """The audit counts SET overlap — a rank swap inside the top-k must
+    not reduce recall. Hard to plant a guaranteed swap, so assert the
+    invariant directly: n_overlap equals the recomputed intersection of
+    the two top-k sets."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 64))
+    rows = [(i, _unit(centers[i % 4] + 0.1 * rng.normal(size=64)), i % 4)
+            for i in range(40)]
+    sf = _write_embeddings(tmp_path, rows)
+    brute = {}
+    for r in _Q["similarity_brute_topk"](spark, sf).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    sq8 = {}
+    for r in _Q["similarity_sq8_topk"](spark, sf).collect():
+        sq8.setdefault(r.query_id, set()).add(r.neighbor_id)
+    audit = {r.query_id: r for r in
+             _Q["similarity_sq8_recall_audit"](spark, sf).collect()}
+    for qid, r in audit.items():
+        assert r.n_overlap == len(brute[qid] & sq8.get(qid, set())), qid
+        assert r.recall_ppm == r.n_overlap * 1_000_000 // r.n_brute
+
+
+def test_selfrepeat_profile_splits_policy_mass_by_source(spark, tmp_path):
+    """One source holds a self-repeating doc (positive keepone_delta:
+    the paper form scrubs mass the cross-doc form keeps), the other a
+    cross-doc duplicate pair (negative delta: keep-one retains the
+    canonical copy the cross-doc form removes)."""
+    sep = [f"s{i}" for i in range(8)]
+    w = [f"w{i}" for i in range(8)]  # source A's OWN gram — must not
+    # collide with source B's, or the cross-doc policy scrubs A too
+    sf = _write_docs(
+        tmp_path,
+        [
+            # source A: within-doc repeat — crossdoc scrubs 0, paper 8
+            (1, " ".join(w + sep + w), "en", "A"),
+            # source B: cross-doc pair — crossdoc scrubs 8+8, paper
+            # keeps the doc-2 canonical copy and scrubs only doc 3
+            (2, " ".join(_G), "en", "B"),
+            (3, " ".join(_G), "en", "B"),
+        ],
+    )
+    out = {r.source: r for r in
+           _Q["corpus_selfrepeat_profile"](spark, sf).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.n_docs, a.n_tokens) == (1, 24)
+    assert (a.crossdoc_scrubbed, a.exactsubstr_scrubbed) == (0, 8)
+    assert a.keepone_delta == 8  # self-repeat mass the cross-doc form missed
+    assert (b.n_docs, b.n_tokens) == (2, 16)
+    assert (b.crossdoc_scrubbed, b.exactsubstr_scrubbed) == (16, 8)
+    assert b.keepone_delta == -8  # canonical copy the cross-doc form over-removed

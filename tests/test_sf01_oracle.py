@@ -203,6 +203,10 @@ HEAVY = [
     # summation-order exact by construction; this lane proves the claim
     # at 32 real partitions instead of trusting the arithmetic argument
     "similarity_sq8_topk",
+    # r11 batch 5: the two policy/QA compositions — each re-runs its
+    # component pipelines at bench scale and hashes the comparison
+    "similarity_sq8_recall_audit",
+    "corpus_selfrepeat_profile",
 ]
 
 _Q = queries()
