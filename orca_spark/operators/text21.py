@@ -43,6 +43,12 @@ from pyspark.sql import functions as F
 from orca_spark.registry import register
 from orca_spark.tables import load
 
+# _selfrepeat_oracle() below resolves REGISTRY["dedup_span_scrub"] at
+# import time — import its defining module directly so importing text21
+# standalone works regardless of queries.py's import order (r11 advisor
+# note; similarity5 applies the same rule to its dependency).
+from orca_spark.operators import text11  # noqa: F401
+
 _SPAN_N = 8  # same gram width as the text11 family — outputs comparable
 _SHIFT = 1 << 32  # pk = doc_id * 2^32 + i : order-isomorphic to (doc_id, i)
 
@@ -134,6 +140,22 @@ def dedup_span_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "would overflow')) end"
         ).alias("doc_id"),
         F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
+    ).select(
+        "doc_id",
+        # second half of the packing contract (r11 advisor note): the
+        # position factor needs i < 2^32, so a document long enough for
+        # any gram position to reach 2^32 - _SPAN_N must raise too —
+        # otherwise pk at max doc_id overflows BIGINT (ANSI abort deep in
+        # the plan) or, worse, breaks the (doc_id, i) order-isomorphism
+        # and silently moves the canonical copy. Same O(docs) cost: one
+        # size() per document at the tokenize boundary.
+        F.expr(
+            f"case when size(toks) >= {(1 << 32) - _SPAN_N} then "
+            "raise_error(concat('dedup_span_exactsubstr: document ', "
+            "cast(doc_id as string), ' has ', cast(size(toks) as string), "
+            "' tokens — gram positions would overflow the pk packing')) "
+            "else toks end"
+        ).alias("toks"),
     )
     grams = (
         toks.where(F.size("toks") >= _SPAN_N)
