@@ -15,6 +15,13 @@ Scale design (the point of this module):
 * **exact Jaccard** (the oracle-checkable baseline): token-set
   self-join; quadratic in the worst case — the MinHash path is the
   one that scales, this one verifies it.
+
+Since r12 the MinHash and SimHash surfaces are THEMSELVES fully
+value-oracled: every stage is deterministic integer arithmetic over
+xxhash64 values, and orca_spark/xxh64_sql.py re-derives Spark's
+xxhash64 bit-exactly in DuckDB SQL — so the driver hash-checks LSH
+band recall and all 64 signature bits, not just the exact-Jaccard
+verification layer.
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ from pyspark.sql import functions as F
 
 from orca_spark.registry import register
 from orca_spark.tables import load
+from orca_spark.xxh64_sql import to_signed, xxh64
 
 # deterministic MinHash parameters (fixed seed, same every run).
 # p = 2^31-1 keeps a*x + b < 2^62 — no int64 overflow under ANSI mode.
@@ -257,12 +265,164 @@ def minhash_near_dup_pairs(d: DataFrame, threshold: float = 0.7, n: int = 3) -> 
     )
 
 
+# ---------------------------------------------------------------------------
+# Full-value DuckDB oracles for the MinHash/SimHash family (r11 verdict
+# item 1). These pipelines are deterministic integer computations end to
+# end — xxhash64 shingles, min over (a·x+b) mod p permutations, band-key
+# hashes, per-bit majority votes — so with a bit-exact SQL xxhash64
+# (orca_spark/xxh64_sql.py) the ENTIRE pipeline replicates in DuckDB,
+# LSH candidate generation included: the driver hash-checks band recall
+# exactly, the same standard dedup_phash_incremental set in r11.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cte() -> str:
+    """Shared CTE block: distinct signed shingle hashes ``shn(doc_id,
+    sh)`` (bit-identical to ``_shingles(n=3)``), per-doc signatures,
+    LSH band buckets ``bkt(doc_id, b, bucket)`` (bit-identical to
+    ``banded_buckets``), and shingle-set sizes.
+
+    Parity notes pinned by tests/test_xxh64_sql.py + the driver hash:
+    * Spark ``split('', ' ')`` is ``[]`` (doc drops out) while DuckDB
+      yields ``['']`` — hence the explicit ``text <> ''`` filter;
+    * 3-gram hashes are the seed-chained multi-arg form, staged across
+      CTE columns (g1→g2→g3) because nesting fragments in the seed slot
+      blows up DuckDB's binder;
+    * docs shorter than 3 tokens fall back to per-token hashes, same as
+      ``_shingles``;
+    * heavy CTEs are MATERIALIZED: DuckDB inlines multi-referenced CTEs
+      by default, which would re-run the ~26k-row hash chain once per
+      reference (3x for shn, 2x for the band self-join).
+    """
+    mins = ",\n                   ".join(
+        f"min(({_A[i]} * pm + {_B[i]}) % {_MERSENNE}) AS m{i}"
+        for i in range(_K)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(_K)) + "]"
+    band_str = " || ',' || ".join(
+        f"CAST(sg[4*b+{j+1}] AS VARCHAR)" for j in range(_K // _BANDS)
+    )
+    return f"""
+        tk0 AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS tk
+            FROM documents
+            WHERE text IS NOT NULL AND text <> ''
+        ),
+        g0 AS (
+            SELECT doc_id, tk[i] AS t1, tk[i+1] AS t2, tk[i+2] AS t3
+            FROM tk0, UNNEST(generate_series(1, len(tk) - 2)) AS gg(i)
+            WHERE len(tk) >= 3
+        ),
+        g1 AS (SELECT doc_id, t2, t3, {xxh64('t1', 42)} AS h1 FROM g0),
+        g2 AS (SELECT doc_id, t3, {xxh64('t2', 'h1')} AS h2 FROM g1),
+        g3 AS (SELECT doc_id, {to_signed(xxh64('t3', 'h2'))} AS sh FROM g2),
+        s0 AS (SELECT doc_id, unnest(tk) AS w FROM tk0 WHERE len(tk) < 3),
+        s1 AS (SELECT doc_id, {to_signed(xxh64('w', 42))} AS sh FROM s0),
+        shn AS MATERIALIZED (
+            SELECT DISTINCT doc_id, sh
+            FROM (SELECT doc_id, sh FROM g3
+                  UNION ALL SELECT doc_id, sh FROM s1)
+        ),
+        pmv AS (
+            SELECT doc_id,
+                   ((sh % {_MERSENNE}) + {_MERSENNE}) % {_MERSENNE} AS pm
+            FROM shn
+        ),
+        sigs AS (
+            SELECT doc_id, {mins}
+            FROM pmv GROUP BY doc_id
+        ),
+        sigl AS (SELECT doc_id, {sig_list} AS sg FROM sigs),
+        bstr AS (
+            SELECT doc_id, b, {band_str} AS s
+            FROM sigl, UNNEST(range({_BANDS})) AS bb(b)
+        ),
+        bkt AS MATERIALIZED (
+            SELECT doc_id, b, {to_signed(xxh64('s', 42))} AS bucket
+            FROM bstr
+        ),
+        sizes AS MATERIALIZED (
+            SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id
+        )
+    """
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_cte()},
+        cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bkt l JOIN bkt r
+              ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        ),
+        inter AS (
+            SELECT doc_a, doc_b, count(*) AS i
+            FROM cand
+            JOIN shn sa ON sa.doc_id = doc_a
+            JOIN shn sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(i / (za.sz + zb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE i / (za.sz + zb.sz - i) >= 0.7
+    """
+
+
+def simhash_oracle_cte() -> str:
+    """CTE block ending in ``sig(doc_id, u, simhash)`` — the SQL twin of
+    ``simhash_signatures`` (u = unsigned HUGEINT form for chunk math).
+    Shared with dedup2's pair oracle."""
+    return f"""
+        tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND text <> ''
+        ),
+        th AS (SELECT doc_id, {xxh64('w', 42)} AS hu FROM tok),
+        votes AS (
+            SELECT doc_id, j,
+                   sum(CASE WHEN (hu // (CAST(1 AS HUGEINT)
+                                         << CAST(j AS INT))) % 2 = 1
+                       THEN 1 ELSE -1 END) AS v
+            FROM th, UNNEST(range(64)) AS jj(j)
+            GROUP BY doc_id, j
+        ),
+        usig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0
+                       THEN CAST(1 AS HUGEINT) << CAST(j AS INT)
+                       ELSE CAST(0 AS HUGEINT) END) AS u
+            FROM votes GROUP BY doc_id
+        ),
+        sig AS MATERIALIZED (
+            SELECT doc_id, u,
+                   CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                        THEN u - (CAST(1 AS HUGEINT) << 64)
+                        ELSE u END AS BIGINT) AS simhash
+            FROM usig
+        )
+    """
+
+
 @register(
     "dedup_minhash",
-    oracle=None,  # LSH candidate generation is probabilistic-by-design;
-    # recall vs the exact path is asserted in tests/test_dedup.py instead.
+    # FULL value oracle: every stage — xxhash64 3-gram shingles
+    # (seed-chained multi-arg), 64 (a·x+b) mod p min-permutations, the
+    # 16 band-bucket hashes, candidate generation, and the exact
+    # shingle-Jaccard verify — re-derived independently in DuckDB SQL,
+    # so the driver hash-checks LSH band recall exactly (not just the
+    # verified survivors). xxhash64 itself is the generated fragment
+    # from orca_spark/xxh64_sql.py, bit-exact by property test.
+    oracle=_minhash_oracle(),
     description="near-dup detection at scale: MinHash(64) + LSH(16 bands) "
-    "candidates, verified with exact shingle-Jaccard >= 0.7",
+    "candidates, verified with exact shingle-Jaccard >= 0.7; fully "
+    "value-oracled — the oracle replicates the integer pipeline "
+    "(including a pure-SQL xxhash64) end to end, so band recall is "
+    "driver hash-checked, the dedup_phash_incremental standard applied "
+    "to the lexical family",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(load(spark, sf_dir, "documents"), threshold=0.7)
@@ -641,10 +801,19 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # 64-bit xxhash64 majority-vote signature has no DuckDB
-    # twin; determinism + hamming-neighbor behavior covered in tests.
+    # FULL value oracle: the signature is a deterministic integer
+    # computation (per-bit majority vote over xxhash64 token-hash bits),
+    # so all 64 bits of every document's signature re-derive in SQL via
+    # the generated xxhash64 fragment — the claim "no DuckDB twin" held
+    # only until the twin was built (orca_spark/xxh64_sql.py).
+    oracle=f"""
+        WITH {simhash_oracle_cte()}
+        SELECT doc_id, simhash FROM sig
+    """,
     description="SimHash: 64-bit per-doc signature (majority vote over "
-    "token hash bits); near-dups = small hamming distance",
+    "token hash bits); near-dups = small hamming distance; fully "
+    "value-oracled — the oracle recomputes every vote from a pure-SQL "
+    "xxhash64 and reassembles all 64 bits per document",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load(spark, sf_dir, "documents"))

@@ -12,9 +12,11 @@ k <= 3 while the work is O(candidates).
 At 100 TB each chunk bucket is a plain 2-byte-key equi-join — skew-safe
 under AQE, no cartesian anywhere.
 
-No DuckDB oracle: the signature is built from ``xxhash64`` bit votes,
-which has no DuckDB twin (same reason as ``dedup_simhash``); planted
-near-dup behavior is asserted in tests/test_dedup.py instead.
+Fully value-oracled since r12: the signature build replicates in
+DuckDB via the generated pure-SQL xxhash64 (orca_spark/xxh64_sql.py),
+and the chunk bucketing / hamming verify are plain integer SQL — the
+driver hash-checks the PAIR SET exactly, pigeonhole recall included
+(planted near-dup behavior additionally asserted in tests/test_dedup.py).
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orca_spark.registry import register
-from orca_spark.operators.dedup import simhash_signatures
+from orca_spark.operators.dedup import simhash_oracle_cte, simhash_signatures
 from orca_spark.tables import load
 
 _N_CHUNKS = 4          # 64 bits -> 4 x 16-bit chunks
@@ -80,12 +82,34 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = _MAX_HAMMING) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    oracle=None,  # xxhash64-based signature has no DuckDB twin; planted
-    # near-dup recovery + exactness vs brute force asserted in tests
+    # FULL value oracle: signatures from the shared pure-SQL xxhash64
+    # CTE (dedup.simhash_oracle_cte), chunk buckets as HUGEINT shift/mod
+    # on the unsigned form, candidates from the same chunk equi-join,
+    # hamming via bit_count(xor) on the signed signatures — the driver
+    # hash-checks the pair set exactly, pigeonhole recall included.
+    oracle=f"""
+        WITH {simhash_oracle_cte()},
+        chunks AS (
+            SELECT doc_id, simhash, c,
+                   (u // (CAST(1 AS HUGEINT) << CAST({64 // _N_CHUNKS}*c AS INT)))
+                       % {1 << (64 // _N_CHUNKS)} AS bucket
+            FROM sig, UNNEST(range({_N_CHUNKS})) AS cc(c)
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   l.simhash AS sa, r.simhash AS sb
+            FROM chunks l JOIN chunks r
+              ON l.c = r.c AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {_MAX_HAMMING}
+    """,
     description=f"SimHash near-dup pairs: 4x16-bit chunk buckets "
     f"(pigeonhole: hamming<={_MAX_HAMMING} implies an equal chunk), "
     "bit_count(xor) verification on candidates only — exact for k<=3 "
-    "with equi-join work, no all-pairs scan",
+    "with equi-join work, no all-pairs scan; fully value-oracled via "
+    "the pure-SQL xxhash64 signature re-derivation",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash_signatures(load(spark, sf_dir, "documents"))

@@ -361,18 +361,58 @@ def dedup_near_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _minhash_incremental_oracle() -> str:
+    """The probe's SQL twin: same shared CTE block as dedup_minhash's
+    oracle (shingles → signatures → band buckets, all via the pure-SQL
+    xxhash64), with candidates from the new(odd) × history(even) band
+    equi-join instead of the full self-join. The persisted parquet
+    index is deterministic per doc, so re-deriving history's buckets
+    from ``documents`` replicates its content exactly — the
+    dedup_phash_incremental oracle convention."""
+    from orca_spark.operators.dedup import _minhash_cte
+
+    return f"""
+        WITH {_minhash_cte()},
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS hist_doc
+            FROM bkt n JOIN bkt h
+              ON n.b = h.b AND n.bucket = h.bucket
+            WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+        ),
+        inter AS (
+            SELECT new_doc, hist_doc, count(*) AS i
+            FROM cand
+            JOIN shn sa ON sa.doc_id = new_doc
+            JOIN shn sb ON sb.doc_id = hist_doc AND sb.sh = sa.sh
+            GROUP BY new_doc, hist_doc
+        )
+        SELECT new_doc, hist_doc,
+               round(i / (za.sz + zb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = new_doc
+        JOIN sizes zb ON zb.doc_id = hist_doc
+        WHERE i / (za.sz + zb.sz - i) >= 0.7
+        ORDER BY new_doc, hist_doc
+    """
+
+
 @register(
     "dedup_minhash_incremental",
-    oracle=None,  # MinHash/LSH candidacy is probabilistic-by-design; the
-    # planted-dup recall and no-false-match properties are asserted in
-    # tests/test_dedup3.py
+    # FULL value oracle (was rows-only): the whole probe — history band
+    # index content, new-batch banding, candidate equi-join, exact
+    # Jaccard verify — is deterministic integer arithmetic over
+    # xxhash64 values, re-derived in SQL via orca_spark/xxh64_sql.py;
+    # planted-dup recall and no-false-match properties additionally
+    # asserted in tests/test_dedup3.py
+    oracle=_minhash_incremental_oracle(),
     description="incremental near-dup: history's LSH band buckets are "
     "built ONCE and persisted to parquet; a new batch bands its own "
     "signatures and probes the stored index by (band, bucket) "
     "equi-join, exact-verifying only matched history docs — dedup "
     "against 100 TB of history at the cost of the NEW data plus the "
     "collisions, never a history rescan (the batch analog of the "
-    "streaming watermarked dedup)",
+    "streaming watermarked dedup); fully value-oracled since r12 via "
+    "the pure-SQL xxhash64 re-derivation",
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-batch docs near-duplicating any history doc (>= 0.7 Jaccard).

@@ -20,9 +20,11 @@ def test_oracles_are_subset_with_known_exceptions():
     # only the probabilistic operators may skip the oracle — each must be
     # behavior-tested instead (tests/test_dedup.py, tests/test_similarity.py)
     assert oracleless == {
-        "dedup_minhash",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
+        # (dedup_minhash / dedup_simhash / dedup_simhash_pairs /
+        # dedup_minhash_incremental left this list in r12: the pure-SQL
+        # xxhash64 fragment made the whole integer pipeline — bands,
+        # votes, buckets — DuckDB-derivable, so each carries a full
+        # value oracle now)
         "similarity_lsh_topk",
         "similarity_ivf_topk",
         "similarity_pq_topk",
@@ -37,9 +39,6 @@ def test_oracles_are_subset_with_known_exceptions():
         # sketch estimates are engine-specific (tests/test_approx.py:
         # estimate-vs-exact bounds incl. the persisted-union path)
         "profile_sketch_persist_union",
-        # LSH candidacy is probabilistic (tests/test_dedup3.py: planted
-        # cross-batch dup found, unique docs unmatched)
-        "dedup_minhash_incremental",
         # schema-level metadata via the Python merge lattice
         # (tests/test_schema_drift.py pins every classification)
         "schema_drift_report",
