@@ -145,6 +145,182 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRP_BANDS = 4          # 64 sign bits -> 4 x 16-bit band keys
+_SRP_WIDTH = 16
+_INC_THRESHOLD = 0.4    # family convention (_NEAR_DUP_THRESHOLD)
+
+
+def srp_band_keys(emb: DataFrame) -> DataFrame:
+    """(vec_id, e, q, qn) → exploded (vec_id, q, qn, band, key): 16-bit
+    sign-pattern band keys (axis-aligned SRP — the embedding analog of
+    SimHash banding).
+
+    Sign bits are EXACT on floats (x > 0 has no rounding), which is the
+    whole reason this banding was chosen over float-kmeans IVF buckets
+    for the incremental index: every stage of the probe stays
+    deterministic, so the driver can hash-check band recall itself —
+    the r11 verdict's Done criterion for this operator. The kmeans-
+    bucketed float forms (ivf/gram/PQ) remain the rows-only siblings.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    " + ".join(
+                        f"(case when e[{_SRP_WIDTH * b + j}] > 0d"
+                        f" then {1 << j}L else 0L end)"
+                        for j in range(_SRP_WIDTH)
+                    )
+                ).alias("key"),
+            )
+            for b in range(_SRP_BANDS)
+        ]
+    )
+    return emb.select(
+        "vec_id", "q", "qn", F.explode(bands).alias("bk")
+    ).select("vec_id", "q", "qn", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+_SRP_KEY_SQL = (
+    "list_sum(list_transform(range(0, 16), j -> "
+    "CASE WHEN e[16*b + j + 1] > 0 THEN (1::BIGINT << j) ELSE 0 END))"
+)
+
+
+@register(
+    "similarity_sq8_incremental",
+    # FULL value oracle — the first embedding-ANN probe the driver can
+    # hash: history (even ids) and probe (odd + replayed %10) both
+    # re-derive in SQL because every stage is deterministic — sign-band
+    # keys (float > 0 is exact), int8 codes (floor arithmetic), integer
+    # code dots (summation-order exact), and the final two sqrts + one
+    # divide + round(4), identical IEEE everywhere (the
+    # similarity_sq8_topk precedent). The persisted parquet index is
+    # deterministic per vector, so deriving history's bands from the
+    # embeddings table replicates its content exactly — the
+    # dedup_phash_incremental oracle convention.
+    oracle=f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE {_EMB_OK}
+        ),
+        qz AS MATERIALIZED (
+            SELECT vec_id, e,
+                   CAST(list_transform(e, x ->
+                        floor(x * 127.0
+                              / list_max(list_transform(e, y -> abs(y)))
+                              + 0.5)) AS DOUBLE[]) AS q
+            FROM base
+        ),
+        bnd AS MATERIALIZED (
+            SELECT vec_id, b, {_SRP_KEY_SQL} AS k
+            FROM qz, UNNEST(range({_SRP_BANDS})) AS bb(b)
+        ),
+        cand AS (
+            SELECT DISTINCT p.vec_id AS new_id, h.vec_id AS hist_id
+            FROM bnd p JOIN bnd h ON p.b = h.b AND p.k = h.k
+            WHERE (p.vec_id % 2 = 1 OR p.vec_id % 10 = 0)
+              AND h.vec_id % 2 = 0
+        ),
+        scored AS (
+            SELECT new_id, hist_id,
+                   round(list_dot_product(a.q, b.q)
+                         / (sqrt(list_dot_product(a.q, a.q))
+                            * sqrt(list_dot_product(b.q, b.q))), 4)
+                       AS cosine_q
+            FROM cand
+            JOIN qz a ON a.vec_id = new_id
+            JOIN qz b ON b.vec_id = hist_id
+        )
+        SELECT new_id, hist_id, cosine_q
+        FROM scored WHERE cosine_q >= {_INC_THRESHOLD}
+        ORDER BY new_id, hist_id
+    """,
+    description="incremental embedding near-dup against a PERSISTED "
+    "SQ8+SRP index — the ingest-once/probe-delta shape for the one "
+    "family that lacked it (exact: jobs12, minhash: dedup3, phash: "
+    "multimodal7): history vectors (even ids) write 16-bit sign-band "
+    "keys + int8 codes to parquet ONCE; the new batch (odd ids + "
+    "re-ingested %10 vectors, so re-submitted content is guaranteed "
+    "detected) quantizes itself, probes the stored index by (band, key) "
+    "equi-join, and scores the integer code cosine >= 0.4 — cost "
+    "proportional to the new batch + collisions, never a history "
+    "rescan; sign-band + integer-dot determinism makes even the band "
+    "recall driver-hashable, unlike the float-kmeans IVF buckets",
+)
+def similarity_sq8_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale contract (asserted in tests/test_plans.py): the history
+    side of the probe plan reads ONLY the parquet index — the
+    embeddings table is scanned once, for the new batch; the index
+    equi-join is a 2-byte-key hash join; the int8 codes ride the index
+    rows (4x narrower than float32, 8x than the double compute form),
+    so probe bandwidth is the compressed representation."""
+    from orca_spark.operators.io_ops import scratch_path
+
+    emb = load_embeddings(spark, sf_dir)
+    hist = sq8_quantize_with_e(emb.where(F.col("vec_id") % 2 == 0))
+    new = sq8_quantize_with_e(
+        emb.where((F.col("vec_id") % 2 == 1) | (F.col("vec_id") % 10 == 0))
+    )
+
+    idx_path = scratch_path("sq8_srp_index", sf_dir)
+    srp_band_keys(hist).write.mode("overwrite").parquet(idx_path)
+
+    probe = srp_band_keys(new).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("q").alias("qa"),
+        F.col("qn").alias("qna"),
+        "band",
+        "key",
+    )
+    idx = spark.read.parquet(idx_path).select(
+        F.col("vec_id").alias("hist_id"),
+        F.col("q").alias("qb"),
+        F.col("qn").alias("qnb"),
+        "band",
+        "key",
+    )
+    cand = (
+        probe.join(idx, ["band", "key"])
+        .select("new_id", "hist_id", "qa", "qna", "qb", "qnb")
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    scored = cand.select(
+        "new_id",
+        "hist_id",
+        F.round(
+            dot("qa", "qb", validated=True).cast("double")
+            / (F.col("qna") * F.col("qnb")),
+            4,
+        ).alias("cosine_q"),
+    )
+    return (
+        scored.where(F.col("cosine_q") >= _INC_THRESHOLD)
+        .select("new_id", "hist_id", "cosine_q")
+        .orderBy("new_id", "hist_id")
+    )
+
+
+def sq8_quantize_with_e(emb: DataFrame) -> DataFrame:
+    """sq8_quantize keeping the raw double vector ``e`` alongside the
+    codes — the band keys come from e's signs, the scoring from q."""
+    return (
+        emb.withColumn(
+            "amax", F.array_max(F.transform("e", lambda x: F.abs(x)))
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(e, x ->"
+                " cast(floor(x * 127.0 / amax + 0.5) as bigint))"
+            ),
+        )
+        .withColumn("qn", F.sqrt(dot("q", "q", validated=True)))
+        .select("vec_id", "e", "q", "qn")
+    )
+
+
 def _subq(sql: str) -> str:
     """Wrap a registered oracle (itself a WITH...SELECT) so it can be a
     CTE body — DuckDB accepts CTEs inside derived tables."""

@@ -820,3 +820,20 @@ def test_sq8_topk_broadcasts_queries_streams_corpus_once(spark):
     exchanges = re.findall(r"hashpartitioning\([^)]*\)", p)
     # the window's per-query shuffle is the ONLY hash exchange
     assert all("query_id#" in e for e in exchanges), exchanges
+
+
+def test_sq8_incremental_probes_persisted_index_not_history(spark):
+    """similarity_sq8_incremental's scale contract: the history side of
+    the probe plan is the PERSISTED parquet index — the embeddings
+    table is scanned exactly once (the new batch); history's bands and
+    codes are never recomputed. The index equi-join is a plain hash
+    join on (band, key); no Python, no cartesian."""
+    p = plan_str(spark, "similarity_sq8_incremental")
+    assert "sq8_srp_index" in p, "probe must read the persisted index"
+    assert p.count("embeddings.parquet") == 1, (
+        "history must come from the index, not a second corpus scan"
+    )
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
