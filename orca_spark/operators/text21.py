@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from orca_spark.registry import register
+from orca_spark.registry import REGISTRY, register
 from orca_spark.tables import load
 
 # _selfrepeat_oracle() below resolves REGISTRY["dedup_span_scrub"] at
@@ -183,6 +183,128 @@ def dedup_span_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cov = (
         grams.join(gd, "gram")
+        .where(F.col("pk") != F.col("min_pk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(_SPAN_N - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    nsc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_scrubbed"))
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("idx"), "tok")
+    keep = (
+        pos.join(cov, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(idx, tok))), s -> s.tok)"
+                    ),
+                )
+            ).alias("kept_md5")
+        )
+    )
+    return (
+        toks.join(nsc, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_scrubbed"), F.lit(0))
+            .cast("long")
+            .alias("n_scrubbed"),
+            F.when(F.size("toks") == 0, F.lit(None))
+            .otherwise(
+                F.expr("coalesce(n_scrubbed, 0) * 1000000 div size(toks)")
+            )
+            .cast("long")
+            .alias("scrubbed_ppm"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
+@register(
+    "dedup_span_exactsubstr_hashed",
+    # Same oracle as the string-keyed sibling: the output exposes no
+    # hash, and grouping grams by xxhash64(gram) is equivalent to
+    # grouping by the gram string absent a 64-bit collision (~n_grams²/
+    # 2^65 — immaterial, and a collision would fail the driver hash
+    # loudly). The dedup_span_scrub_hashed convention, applied to the
+    # paper-exact form (r11 verdict item 6 — it was the one span
+    # operator still shuffling gram strings).
+    oracle=REGISTRY["dedup_span_exactsubstr"].oracle,
+    description=f"the 100 TB form of dedup_span_exactsubstr its "
+    f"docstring promises: gram keys are xxhash64(gram) LONGS (8-byte "
+    f"shuffle keys, never the gram string), the positioned gram stream "
+    f"is persisted between its two consumers, and the canonical-copy "
+    f"min(pk) rides the same hashed-gram aggregate; output and oracle "
+    f"identical to the string-keyed sibling — keep-one word-{_SPAN_N}-"
+    f"gram ExactSubstr (within-doc repeats included) with value-checked "
+    f"kept-text md5",
+)
+def dedup_span_exactsubstr_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale contract (asserted in tests/test_plans.py): every shuffle
+    key in the plan is a LONG or (doc_id, idx)/doc_id composite — the
+    gram STRING is hashed (``gram_h = xxhash64(gram)``) and projected
+    away before the first exchange, so shuffle width is independent of
+    gram text size; the (doc_id, i, pk, gram_h) stream is
+    localCheckpoint-persisted and feeds both the duplicate aggregate
+    and the join-back without re-tokenizing."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        F.expr(
+            "case when doc_id is null then doc_id "
+            "when doc_id between 0 and 2147483647 then doc_id "
+            "else raise_error(concat('dedup_span_exactsubstr_hashed: "
+            "doc_id ', cast(doc_id as string), ' outside [0, 2^31) — pk "
+            "packing would overflow')) end"
+        ).alias("doc_id"),
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"case when size(toks) >= {(1 << 32) - _SPAN_N} then "
+            "raise_error(concat('dedup_span_exactsubstr_hashed: document "
+            "', cast(doc_id as string), ' has ', cast(size(toks) as "
+            "string), ' tokens — gram positions would overflow the pk "
+            "packing')) else toks end"
+        ).alias("toks"),
+    )
+    grams = (
+        toks.where(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(toks, i, {_SPAN_N}))))"
+                )
+            ).alias("p0", "gram_h"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("i"),
+            (F.col("doc_id") * F.lit(_SHIFT) + F.col("p0") + 1).alias("pk"),
+            "gram_h",
+        )
+        .localCheckpoint(eager=False)  # tokenize+hash once, consume twice
+    )
+    gd = (
+        grams.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("pk").alias("min_pk"))
+        .where(F.col("cnt") > 1)
+        .select("gram_h", "min_pk")
+    )
+    cov = (
+        grams.join(gd, "gram_h")
         .where(F.col("pk") != F.col("min_pk"))
         .select(
             "doc_id",

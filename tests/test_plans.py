@@ -837,3 +837,24 @@ def test_sq8_incremental_probes_persisted_index_not_history(spark):
     assert "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exactsubstr_hashed_shuffles_only_on_longs(spark):
+    """dedup_span_exactsubstr_hashed exists to shuffle on xxhash64(gram)
+    LONGS instead of gram strings (r11 verdict item 6): no exchange may
+    be keyed on gram text, the canonical-copy min(pk) must ride the
+    same hashed-gram aggregate as the count (map-side partial), and the
+    family's forbidden nodes stay absent."""
+    import re
+
+    p = plan_str(spark, "dedup_span_exactsubstr_hashed")
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", p)
+    assert exchanges, "no exchanges found — plan shape changed?"
+    assert any("gram_h#" in e for e in exchanges), exchanges
+    for e in exchanges:
+        assert not re.search(r"\bgram#", e), e
+    assert re.search(r"gram_h#\d+L", p), "gram_h is not a long column"
+    assert "partial_min" in p, "canonical-copy min is not map-side partial"
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
