@@ -310,6 +310,13 @@ from orca_spark.streaming import jobs13  # noqa: F401
 # exact, unlike the float paths that keep PQ/LSH/IVF rows-only).
 from orca_spark.operators import similarity5, text21  # noqa: F401
 
+# r12: the two policy compositions (r11 verdict item 8) — the
+# multimodal corpus build (gate -> text dedup -> phash near-dup drop ->
+# manifest, every stage through its production kernel) and the
+# two-granularity benchmark decontamination (doc drop + cross-corpus
+# span scrub in one pass), both fully value-oracled.
+from orca_spark.operators import pipeline6  # noqa: F401
+
 
 def queries():
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -858,3 +858,35 @@ def test_exactsubstr_hashed_shuffles_only_on_longs(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_multimodal_curation_composes_banded_no_allpairs(spark):
+    """pipeline_multimodal_curation's stage contract: the only Python
+    in the plan is the one Arrow phash kernel (row-local map); the
+    phash pair search is the banded 2-byte-key equi-join, never a
+    cartesian; exact dedup and the drop anti-join shuffle longs; no
+    exchange is keyed on document text."""
+    import re
+
+    p = plan_str(spark, "pipeline_multimodal_curation")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p  # row-at-a-time Python forbidden
+    for e in re.findall(r"hashpartitioning\([^)]*\)", p):
+        assert not re.search(r"\btext#", e), e
+
+
+def test_decontaminate_scrub_broadcasts_bench_hashes_grams(spark):
+    """pipeline_decontaminate_scrub's scale contract: the benchmark
+    gram set reaches the corpus through a BROADCAST join (eval sets are
+    never corpus-scale); gram keys are xxhash64 longs — no exchange
+    keyed on gram or document text; no Python anywhere."""
+    import re
+
+    p = plan_str(spark, "pipeline_decontaminate_scrub")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # bench hash set + gram set broadcast
+    for e in re.findall(r"hashpartitioning\([^)]*\)", p):
+        assert not re.search(r"\btext#|\bgram#|\btok#", e) or "gram_h" in e, e
