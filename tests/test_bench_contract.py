@@ -28,16 +28,24 @@ def test_compact_line_fits_capture_window_worst_case():
     entry that would overflow fails here, at commit time, instead of
     in the next round's BENCH file."""
     timings = {n: 999.999 for n in HEADLINE}
-    line = compact_line(99999.999, timings, 0.1)
+    line = compact_line(
+        99999.999, timings, 0.1, {"serial": 999.999, "parallel": 999.999}
+    )
     assert len(line) <= _LINE_BUDGET, (len(line), _LINE_BUDGET)
 
 
 def test_compact_line_is_single_parseable_json():
     timings = {n: 1.234 for n in HEADLINE}
-    line = compact_line(sum(timings.values()), timings, 0.1)
+    line = compact_line(
+        sum(timings.values()), timings, 0.1, {"serial": 0.1, "parallel": 0.9}
+    )
     assert "\n" not in line
     rec = json.loads(line)
     assert rec["metric"] == "headline_queries_total_sec"
     assert rec["unit"] == "sec"
     assert set(rec["queries"]) == set(HEADLINE)
     assert rec["sf"] == 0.1
+    # both host calibrations ride the driver line since r12 — the r11
+    # riser verdict stalled because the calibration lived only in the
+    # working-tree BENCH_DETAIL.json the driver may overwrite
+    assert rec["cal"] == {"serial": 0.1, "parallel": 0.9}
