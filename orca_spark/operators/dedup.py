@@ -282,9 +282,15 @@ def _minhash_cte() -> str:
     LSH band buckets ``bkt(doc_id, b, bucket)`` (bit-identical to
     ``banded_buckets``), and shingle-set sizes.
 
-    Parity notes pinned by tests/test_xxh64_sql.py + the driver hash:
-    * Spark ``split('', ' ')`` is ``[]`` (doc drops out) while DuckDB
-      yields ``['']`` — hence the explicit ``text <> ''`` filter;
+    Parity notes pinned by tests/test_xxh64_sql.py, the adversarial
+    corpus harness, and the driver hash:
+    * ``split('', ' ')`` is ``[""]`` — one empty token — on BOTH
+      engines (Spark's show() renders it as ``[]``, which is a trap:
+      an earlier draft filtered ``text <> ''`` here and diverged on
+      empty-text docs, caught by the degenerate-corpus harness), so an
+      empty doc carries the single shingle xxh64('') and pairs with
+      every other empty/whitespace doc at jaccard 1.0, identically on
+      both engines;
     * 3-gram hashes are the seed-chained multi-arg form, staged across
       CTE columns (g1→g2→g3) because nesting fragments in the seed slot
       blows up DuckDB's binder;
@@ -306,7 +312,7 @@ def _minhash_cte() -> str:
         tk0 AS MATERIALIZED (
             SELECT doc_id, string_split(text, ' ') AS tk
             FROM documents
-            WHERE text IS NOT NULL AND text <> ''
+            WHERE text IS NOT NULL
         ),
         g0 AS (
             SELECT doc_id, tk[i] AS t1, tk[i+1] AS t2, tk[i+2] AS t3
@@ -379,7 +385,7 @@ def simhash_oracle_cte() -> str:
         tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w
             FROM documents
-            WHERE text IS NOT NULL AND text <> ''
+            WHERE text IS NOT NULL
         ),
         th AS (SELECT doc_id, {xxh64('w', 42)} AS hu FROM tok),
         votes AS (
