@@ -204,13 +204,20 @@ def label_propagation(
     return labels.select("doc_id", "label", "is_seed")
 
 
-def _lp_oracle_sql(rounds: int = _LP_ROUNDS, seed_mod: int = _LP_SEED_MOD) -> str:
+def _lp_oracle_sql(
+    rounds: int = _LP_ROUNDS,
+    seed_mod: int = _LP_SEED_MOD,
+    edges_sql: str | None = None,
+) -> str:
     """DuckDB twin of the clamped-seed propagation, the fixed round
     count unrolled as chained CTEs (VERDICT r05 #8: synchronous rounds
     with integer vote counts and a smaller-label tie-break are fully
-    deterministic — hash-checkable, not rows-only). Edge CTE is the
-    same exact-Jaccard >= 9/10 integer-arithmetic set as
-    ``graph_neardup_degree``'s oracle, mirrored both directions; seeds
+    deterministic — hash-checkable, not rows-only). The default edge
+    CTE block is the same exact-Jaccard >= 9/10 integer-arithmetic set
+    as ``graph_neardup_degree``'s oracle, mirrored both directions;
+    ``edges_sql`` overrides it with any CTE block ending in
+    ``edges(src, dst)`` — the SimHash-banded variant passes the pair
+    SQL that became derivable with the r12 xxhash64 fragment. Seeds
     use (doc_id % m + m) % m so negative ids agree with Spark's pmod."""
     steps = []
     for i in range(rounds):
@@ -235,9 +242,8 @@ lab{i + 1} AS (
          l.is_seed
   FROM lab{i} l LEFT JOIN best{i} b USING (doc_id)
 )""")
-    return (
-        f"""
-WITH tok AS (
+    if edges_sql is None:
+        edges_sql = f"""tok AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
   FROM documents WHERE text IS NOT NULL
 ),
@@ -258,7 +264,10 @@ edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM kept
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM kept
-),
+)"""
+    return (
+        f"""
+WITH {edges_sql},
 lab0 AS (
   SELECT doc_id,
          CASE WHEN (doc_id % {seed_mod} + {seed_mod}) % {seed_mod} = 0
@@ -431,15 +440,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(docs)
 
 
+def _lp_simhash_edges_sql() -> str:
+    """Edge CTE block for the banded variant: the dedup_simhash_pairs
+    SQL (pure-SQL xxhash64 signatures + chunk pigeonhole buckets +
+    hamming verify), mirrored both directions. Derivable since the r12
+    xxhash64 fragment — this was the last rows-only graph surface."""
+    from orca_spark.operators.dedup import simhash_oracle_cte
+
+    return f"""{simhash_oracle_cte()},
+chunks AS (
+  SELECT doc_id, simhash, c,
+         (u // (CAST(1 AS HUGEINT) << CAST(16*c AS INT))) % 65536 AS bucket
+  FROM sig, UNNEST(range(4)) AS cc(c)
+),
+kept AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM chunks l JOIN chunks r
+    ON l.c = r.c AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM kept
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM kept
+)"""
+
+
 @register(
     "graph_label_propagation_simhash",
+    # FULL value oracle (was rows-only): the banded edge set is the
+    # dedup_simhash_pairs SQL — derivable since the r12 pure-SQL
+    # xxhash64 — and the propagation rounds were always deterministic
+    # (the exact-edge sibling has been hash-checked since r05).
+    oracle=_lp_oracle_sql(edges_sql=_lp_simhash_edges_sql()),
     description="label propagation (same clamped-seed majority-vote "
     "rounds) over SimHash-banded near-dup edges (hamming <= 3 via 4x16 "
     "chunk pigeonhole buckets) — the scale configuration: on a densely "
     "duplicated corpus the exact-Jaccard edge enumeration is quadratic "
     "inside every dup family, while the banded edge set is "
     "O(candidates) with 2-byte bucket join keys; agreement with the "
-    "exact form on planted clusters is behavior-tested",
+    "exact form on planted clusters is behavior-tested, and since r12 "
+    "the whole pipeline — banded edges included — is hash-checked "
+    "against a DuckDB oracle via the pure-SQL xxhash64",
 )
 def graph_label_propagation_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_spark.operators.dedup import simhash_signatures

@@ -45,9 +45,9 @@ def test_oracles_are_subset_with_known_exceptions():
         # count-min sketch estimates have no DuckDB counterpart
         # (tests/test_approx.py: one-sided bound + exact mergeability)
         "events_heavy_hitters_cms",
-        # banded-edge scale sibling: SimHash signatures have no DuckDB
-        # twin; agreement with the exact form is behavior-tested
-        "graph_label_propagation_simhash",
+        # (graph_label_propagation_simhash left this list in r12: its
+        # banded edges are the dedup_simhash_pairs SQL, derivable since
+        # the pure-SQL xxhash64 fragment)
         # eigendecomposition has no DuckDB twin — gated by the
         # whitened-covariance-is-identity test (tests/test_text9_graph.py)
         "embedding_whitening",

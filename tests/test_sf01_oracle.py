@@ -207,6 +207,24 @@ HEAVY = [
     # component pipelines at bench scale and hashes the comparison
     "similarity_sq8_recall_audit",
     "corpus_selfrepeat_profile",
+    # r12: the newly-oracled xxhash64-in-SQL family at 32 real
+    # partitions — dedup_minhash covers the shingle-chain + banding +
+    # Jaccard-verify CTE stack (~1 min DuckDB-side at sf0.1: 260k
+    # 3-stage chained hashes), dedup_simhash_pairs covers the vote
+    # signature + chunk-bucket + hamming stack (~1 min). Their siblings
+    # (dedup_simhash, dedup_minhash_incremental) share the identical
+    # CTE stacks verbatim and stay at the sf0.01 driver gate.
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    # r12: the SQ8+SRP persisted-index probe (integer-exact end to end),
+    # the hashed ExactSubstr twin, and the two policy compositions —
+    # the multimodal build re-derives every phash bit at 10k-doc scale
+    # and cross-joins ~4k survivor hashes in the oracle while Spark
+    # stays banded
+    "similarity_sq8_incremental",
+    "dedup_span_exactsubstr_hashed",
+    "pipeline_multimodal_curation",
+    "pipeline_decontaminate_scrub",
 ]
 
 _Q = queries()
