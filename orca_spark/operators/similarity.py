@@ -775,12 +775,65 @@ def lsh_bucket(col, dim: int = 64) -> Column:
     return bucket
 
 
+def _lsh_oracle() -> str:
+    """DuckDB twin of the sign-LSH top-k.
+
+    Approximate vs GROUND TRUTH (recall floor asserted in
+    tests/test_similarity.py), but DETERMINISTIC as a function: the
+    hyperplanes are fixed-seed literals and the bucket bit is the sign
+    of a left-associated double chain — the oracle replays the SAME
+    chain (same ``repr`` literals, same operand order, DuckDB lists are
+    1-indexed) so the dots are bit-identical IEEE sequences and the
+    signs cannot disagree. Scoring/rank reuse the proven
+    similarity_brute_topk form (list_dot_product + round-4 + id
+    tiebreak); multiprobe is unnest over the 9 xor'd bucket ids — a
+    candidate has ONE bucket so a pair matches at most one probe, same
+    as the Spark explode+equi-join. Same argument that converted the
+    minhash/simhash family from rows-only this round.
+    """
+    contract = (
+        "embedding IS NOT NULL"
+        " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+        " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    )
+    bits = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"e[{i + 1}]*({v!r}::DOUBLE)" for i, v in enumerate(plane))
+        + f") > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(_hyperplanes(_DIM))
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(_N_PLANES)])
+    return f"""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE {contract}),
+        b AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n,
+                     ({bits}) AS bucket
+              FROM c),
+        q AS (SELECT vec_id, e, n, unnest([{probes}]) AS pbucket
+              FROM b WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+            SELECT q.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                   round(list_dot_product(q.e, cb.e) / (q.n * cb.n), 4) AS cosine
+            FROM q JOIN b cb ON cb.bucket = q.pbucket AND q.vec_id <> cb.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        WHERE rank <= {_TOP_K}
+    """
+
+
 @register(
     "similarity_lsh_topk",
-    oracle=None,  # approximate by construction; recall vs similarity_brute_topk
-    # asserted in tests/test_similarity.py
+    oracle=_lsh_oracle(),
     description="ANN scale path: random-hyperplane LSH buckets, cosine "
-    "top-k within multi-probed buckets (candidate set ~ 9n/256 per query)",
+    "top-k within multi-probed buckets (candidate set ~ 9n/256 per query); "
+    "deterministic fixed-seed planes make the banded output fully "
+    "hash-oracled (recall vs brute force asserted in tests)",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)

@@ -25,7 +25,10 @@ def test_oracles_are_subset_with_known_exceptions():
         # xxhash64 fragment made the whole integer pipeline — bands,
         # votes, buckets — DuckDB-derivable, so each carries a full
         # value oracle now)
-        "similarity_lsh_topk",
+        # (similarity_lsh_topk left this list in r12: its fixed-seed
+        # hyperplanes are SQL literals, so the bucket signs — and with
+        # them the whole banded candidate set — replay bit-identically
+        # in DuckDB; scoring was already the proven brute-topk form)
         "similarity_ivf_topk",
         "similarity_pq_topk",
         "embedding_near_dup_pairs_ivf",
