@@ -191,6 +191,15 @@ _DOC_QUERIES = [
     # forms (the nasty within-doc repeat doc produces a large positive
     # keepone_delta here)
     "corpus_selfrepeat_profile",
+    # r12 registrations: the hashed-key ExactSubstr twin (same nasty
+    # within-doc repeat workout as its string-keyed sibling) and the
+    # two policy compositions — the multimodal build runs the full
+    # gate -> dedup -> phash -> manifest chain on the degenerate
+    # corpus, the decontamination composition the bloom + span-scrub
+    # chain
+    "dedup_span_exactsubstr_hashed",
+    "pipeline_multimodal_curation",
+    "pipeline_decontaminate_scrub",
 ]
 
 
