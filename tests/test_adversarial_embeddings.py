@@ -103,6 +103,11 @@ _EMB_QUERIES = [
     # fixture both sides exclude the same pathological vectors, so the
     # audit must still emit one row per surviving query
     "similarity_sq8_recall_audit",
+    # r12: the persisted SQ8+SRP index probe — the degenerate corpus
+    # exercises the build half (pathological vectors must quantize or
+    # be excluded exactly as in similarity_sq8_topk) and the banded
+    # probe half on the odd/even split of what survives
+    "similarity_sq8_incremental",
 ]
 
 
