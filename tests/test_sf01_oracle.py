@@ -226,7 +226,7 @@ HEAVY = [
     "pipeline_multimodal_curation",
     "pipeline_decontaminate_scrub",
     # r12: sign-LSH ANN, oracled for the first time (rows-only r04-r11)
-    # — at sf0.1 the bucket signs of 5000 vectors × 8 plane chains must
+    # — at sf0.1 the bucket signs of 2000 vectors × 8 plane chains must
     # replay bit-identically in DuckDB for the candidate sets to agree
     "similarity_lsh_topk",
 ]
