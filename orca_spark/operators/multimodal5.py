@@ -39,9 +39,15 @@ float is the final RMS sqrt, which IEEE-754 defines exactly for a
 given quotient), one pass, zero shuffles. At 100 TB these are
 scan-bound maps that scale linearly with executor count.
 
-No oracle: byte-level signal processing has no SQL twin — planted
-waveform/cut fixtures pin the semantics (tests/test_r08_ops.py) and
-the driver records a rows-only check.
+Both carry FULL value oracles since r12: the corpus payloads are UTF-8
+text bytes, so on every test corpus the kernels take the documented
+stub branch, whose math is pure integer byte arithmetic — a DuckDB
+twin extracts each byte via two hex-nibble lookups (the multimodal7
+device) and re-derives every feature exactly. The real-container
+branches (RIFF/WAVE, Y4M) stay pinned by the planted fixture files in
+tests/test_r08_ops.py, which also asserts no test corpus text can
+reach them (a text would have to be a byte-valid container AND valid
+UTF-8).
 
 Reference parity: core.clj has no binary-payload surface (SURVEY
 §2.5); multimodal-family extension.
@@ -169,15 +175,103 @@ def audio_features_kernel(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
 
 
+# --------------------------------------------------------------------------
+# Oracle fragments (r12): the corpus payloads are UTF-8 text bytes
+# (attach_payload), so on every test corpus the kernels take the
+# DOCUMENTED STUB branch — whose feature math is pure integer byte
+# arithmetic, re-derivable in SQL exactly like the PPM phash chain
+# (multimodal7). Byte extraction: hex() the whole blob once, then two
+# strpos nibble lookups per byte (DuckDB has no substr over BLOB).
+# The oracle replicates the stub branch only; the real-container
+# branches (RIFF/WAVE, YUV4MPEG2) fire on none of the corpora — a text
+# would have to be a byte-valid WAV/Y4M stream AND valid UTF-8 — and
+# tests/test_r08_ops.py::test_corpora_never_hit_container_branches
+# makes that assumption structural rather than hoped.
+# --------------------------------------------------------------------------
+
+_BYTES_SQL = """
+        b AS (
+            SELECT doc_id, octet_length(encode(text)) AS n,
+                   list_transform(range(0, octet_length(encode(text))), i ->
+                       (strpos('0123456789ABCDEF',
+                               substr(hex(encode(text)),
+                                      CAST(2*i+1 AS BIGINT), 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                               substr(hex(encode(text)),
+                                      CAST(2*i+2 AS BIGINT), 1)) - 1)) AS bs
+            FROM documents
+            WHERE text IS NOT NULL
+        )
+"""
+
+_AUDIO_ORACLE = f"""
+    WITH {_BYTES_SQL},
+    s AS (
+        SELECT doc_id, n,
+               list_transform(bs, v -> v - {_PCM_CENTER}) AS sm
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
+                list_sum(list_transform(sm, v -> v*v)) END AS BIGINT)
+               AS energy,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
+                floor(sqrt(CAST(list_sum(list_transform(sm, v -> v*v))
+                                AS DOUBLE) / n) * 65536.0) END AS BIGINT)
+               AS rms_fp,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE coalesce(
+                list_sum(list_transform(range(1, n), i ->
+                    CASE WHEN sm[i] * sm[i+1] < 0 THEN 1 ELSE 0 END)), 0)
+                END AS BIGINT) AS n_zero_cross,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
+                list_max(list_transform(sm, v -> abs(v))) END AS BIGINT)
+               AS peak,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
+                list_sum(list_transform(sm, v ->
+                    CASE WHEN abs(v) <= {_SILENCE_NUM} THEN 1 ELSE 0 END))
+                * 1000000 // n END AS BIGINT) AS silence_ppm,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
+                list_sum(list_transform(sm, v ->
+                    CASE WHEN abs(v) >= {_CLIP_NUM} THEN 1 ELSE 0 END))
+                END AS BIGINT) AS n_clipped
+    FROM s
+"""
+
+_VIDEO_ORACLE = f"""
+    WITH {_BYTES_SQL},
+    fr AS (
+        SELECT doc_id, n // {_FRAME_BYTES} AS n_frames,
+               list_transform(range(0, n // {_FRAME_BYTES}), f ->
+                   list_sum(list_transform(range(0, {_FRAME_BYTES}), i ->
+                       bs[f*{_FRAME_BYTES} + i + 1]))) AS fsums
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(CASE WHEN n_frames <= 1 THEN 0 ELSE coalesce(
+                list_sum(list_transform(range(1, n_frames), j ->
+                    CASE WHEN abs(fsums[j+1] - fsums[j]) >= {_CUT_DELTA}
+                         THEN 1 ELSE 0 END)), 0) END AS BIGINT) AS n_cuts,
+           CAST(CASE WHEN n_frames <= 1 THEN 0 ELSE
+                list_max(list_transform(range(1, n_frames), j ->
+                    abs(fsums[j+1] - fsums[j]))) END AS BIGINT) AS max_delta,
+           CAST(CASE WHEN n_frames = 0 THEN 0 ELSE fsums[1] END AS BIGINT)
+               AS first_frame_sum
+    FROM fr
+"""
+
+
 @register(
     "multimodal_audio_features",
-    # no oracle: byte-level DSP has no SQL twin — planted waveform
-    # fixtures in tests/test_r08_ops.py; rows-only driver check
+    oracle=_AUDIO_ORACLE,
     description="audio-clip profiling (RMS energy, zero-crossing rate, "
     "peak, silence ppm, clip count) — the drop-silent/clipped/noise "
     "pass of audio curation; stubbed PCM decode behind an Arrow-batched "
     "mapInPandas kernel with integer-exact accumulators, one pass, "
-    "zero shuffles",
+    "zero shuffles; fully value-oracled since r12 (the stub branch is "
+    "byte arithmetic a hex-nibble SQL twin re-derives exactly — the "
+    "real-WAV branch stays fixture-tested)",
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -298,14 +392,15 @@ def video_scene_kernel(batch: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "multimodal_video_scene_cuts",
-    # no oracle: framed byte-level diffing has no SQL twin — planted
-    # cut fixtures in tests/test_r08_ops.py; rows-only driver check
+    oracle=_VIDEO_ORACLE,
     description="video shot-boundary detection (sample-per-shot "
     "curation): integer per-frame luminance sums, cut = adjacent "
     "delta >= per-pixel threshold — REAL YUV4MPEG2 (Y4M) stream parse "
     "(Y plane as luma, 420/422/444/mono) with documented 64-byte-tile "
     "stub fallback, behind Arrow-batched mapInPandas, integer-exact, "
-    "one pass, zero shuffles",
+    "one pass, zero shuffles; fully value-oracled since r12 (the tile "
+    "stub is framed byte sums a hex-nibble SQL twin re-derives exactly "
+    "— the real-Y4M branch stays fixture-tested)",
 )
 def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

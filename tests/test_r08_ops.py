@@ -974,3 +974,25 @@ def test_prefix_suffix_overlap_catches_stitch_boundary(spark, tmp_path):
     assert [(r.tail_doc_id, r.head_doc_id, r.boundary_key) for r in rows] == [
         (1, 2, "p1 p2 p3 p4")
     ]
+
+
+def test_corpora_never_hit_container_branches():
+    """The r12 audio/video oracles replicate the documented STUB branch
+    only — valid because a corpus text would have to be a byte-valid
+    RIFF/WAVE or YUV4MPEG2 stream (and valid UTF-8) to reach the real
+    container parse. Make that assumption structural: no text in any
+    driver sf dir may even carry the magic prefixes the dispatchers
+    check (the degenerate-corpus harness covers its own fixtures via
+    the value-level oracle compare)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n = con.execute(
+            f"SELECT count(*) FROM '{path}' WHERE text LIKE 'RIFF%'"
+            f" OR text LIKE 'YUV4MPEG2%'"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} texts carry a container magic prefix"

@@ -59,11 +59,13 @@ def test_oracles_are_subset_with_known_exceptions():
         "text_compression_ratio",
         # (multimodal_phash_neardup left this list in r11: the PPM phash
         # chain became SQL-derivable, so the banded pair search gained a
-        # full cross-join oracle)
-        # byte-level DSP / framed diffing have no SQL twin — planted
-        # waveform and scene-cut fixtures (tests/test_r08_ops.py)
-        "multimodal_audio_features",
-        "multimodal_video_scene_cuts",
+        # full cross-join oracle. multimodal_audio_features /
+        # multimodal_video_scene_cuts left in r12: on every test corpus
+        # the kernels take the documented stub branch — integer byte
+        # arithmetic over the UTF-8 payload, re-derived by a hex-nibble
+        # SQL twin; the real-container branches stay fixture-tested and
+        # unreachable from corpus text, asserted structurally in
+        # tests/test_r08_ops.py)
     }, oracleless
 
 

@@ -229,6 +229,11 @@ HEAVY = [
     # — at sf0.1 the bucket signs of 2000 vectors × 8 plane chains must
     # replay bit-identically in DuckDB for the candidate sets to agree
     "similarity_lsh_topk",
+    # r12: the audio/video feature kernels, oracled for the first time
+    # (rows-only r08-r11) — at sf0.1 the hex-nibble twin re-derives
+    # every byte of 5000 UTF-8 payloads (~3.5 s DuckDB-side each)
+    "multimodal_audio_features",
+    "multimodal_video_scene_cuts",
 ]
 
 _Q = queries()
