@@ -23,9 +23,18 @@ parser of the binary layout — the format is owned by Spark.
 Determinism: the sketch is seeded, hashing is fixed, and merging sums
 integer counters (commutative/associative), so estimates are exactly
 reproducible across runs and partitionings — unlike HLL, whose
-register-merge interplay is engine-specific. There is still no DuckDB
-oracle (DuckDB has no CMS); correctness is the one-sided-error bound
-asserted in tests/test_approx.py.
+register-merge interplay is engine-specific. Since r12 that
+determinism is driver-checked by a FULL value oracle: DuckDB has no
+CMS, so the oracle re-derives Spark's sketch from first principles —
+``CountMinSketchImpl.hash(long, i)`` is ``h = a_i * x`` (wrapping 64),
+``h += h >> 32`` (arithmetic), ``h &= 2^31-1``, ``h % width``, with
+``a_i = java.util.Random(seed).nextLong()`` replicated in pure Python
+(``_jrandom_longs``, pinned by tests/test_approx.py against the
+literals below) and the wrapping arithmetic in HUGEINT (the xxh64_sql
+device). The estimate for a candidate is then ``min_i Σ counts of
+keys colliding in row i`` — no counter table materialized, just seven
+group-bys over the per-key exact counts. The one-sided-error bound
+stays asserted in tests/test_approx.py.
 """
 
 from __future__ import annotations
@@ -40,6 +49,88 @@ _EPS = 0.001     # overcount bound: eps * total_count
 _CONF = 0.99     # probability the bound holds per query
 _SEED = 42
 _TOP_K = 20
+# depth/width as CountMinSketchImpl derives them from (eps, conf):
+# depth = ceil(ln(1/(1-conf))/ln(2)) = 7, width = ceil(2/eps) = 2000
+_CMS_DEPTH = 7
+_CMS_WIDTH = 2000
+
+
+def _jrandom_longs(seed: int, n: int) -> list[int]:
+    """``java.util.Random(seed).nextLong()`` ×n, replicated exactly
+    (48-bit LCG, two signed 32-bit halves) — CountMinSketchImpl seeds
+    its per-row multipliers this way (initTablesWith)."""
+    s = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def nxt32() -> int:
+        nonlocal s
+        s = (s * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        v = s >> 16
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    out = []
+    for _ in range(n):
+        hi, lo = nxt32(), nxt32()
+        v = ((hi << 32) + lo) & ((1 << 64) - 1)
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
+_CMS_HASH_A = _jrandom_longs(_SEED, _CMS_DEPTH)
+
+
+def _cms_oracle(key: str = "user_id", table: str = "events") -> str:
+    """DuckDB re-derivation of the heavy-hitters readout: exact top-k
+    candidates, each estimated as ``min_i Σ exact counts of keys whose
+    row-i cell collides`` — definitionally what the merged CMS counter
+    table holds for a long key. Wrapping 64-bit ops run in HUGEINT;
+    ``h >> 32`` is arithmetic (Java), hence the sign-branched shift."""
+    w64 = 1 << 64
+    h63 = 1 << 63
+    ha = ", ".join(f"({i}, CAST({a} AS HUGEINT))" for i, a in enumerate(_CMS_HASH_A))
+    return f"""
+        WITH c AS (
+            SELECT {key}, count(*) AS exact_n
+            FROM {table} WHERE {key} IS NOT NULL GROUP BY {key}
+        ),
+        tot AS (SELECT sum(exact_n) AS total FROM c),
+        h1 AS (
+            SELECT {key}, exact_n, i,
+                   ((CAST(a AS HUGEINT) * CAST({key} AS HUGEINT) % {w64})
+                    + {w64}) % {w64} AS pu
+            FROM c CROSS JOIN (VALUES {ha}) AS ha(i, a)
+        ),
+        h2 AS (
+            SELECT {key}, exact_n, i,
+                   (CASE WHEN pu >= {h63} THEN pu - {w64} ELSE pu END)
+                 + (CASE WHEN pu >= {h63} THEN pu // {1 << 32} - {1 << 32}
+                         ELSE pu // {1 << 32} END) AS t
+            FROM h1
+        ),
+        h3 AS (
+            SELECT {key}, exact_n, i,
+                   (((t % {w64}) + {w64}) % {w64}) % {1 << 31}
+                       % {_CMS_WIDTH} AS cell
+            FROM h2
+        ),
+        tcell AS (SELECT i, cell, sum(exact_n) AS cnt
+                  FROM h3 GROUP BY i, cell),
+        top AS (SELECT {key}, exact_n FROM c
+                ORDER BY exact_n DESC, {key} LIMIT {_TOP_K}),
+        est AS (
+            SELECT h.{key}, h.exact_n, min(tc.cnt) AS cms_n
+            FROM h3 h
+            JOIN top USING ({key})
+            JOIN tcell tc ON tc.i = h.i AND tc.cell = h.cell
+            GROUP BY h.{key}, h.exact_n
+        )
+        SELECT {key},
+               CAST(exact_n AS BIGINT) AS exact_n,
+               CAST(cms_n AS BIGINT) AS cms_n,
+               cms_n >= exact_n AS no_undercount,
+               CAST(trunc(CAST({_EPS} AS DOUBLE) * total) AS BIGINT) + 1
+                   AS eps_margin
+        FROM est, tot
+    """
 
 
 def _read_cms(spark: SparkSession, sk_bytes: bytes):
@@ -98,9 +189,7 @@ def heavy_hitters_cms_df(
 
 @register(
     "events_heavy_hitters_cms",
-    oracle=None,  # DuckDB has no count-min sketch; the one-sided error
-    # contract (never undercounts, overcount <= eps*N w.p. confidence)
-    # and merge-exactness are asserted in tests/test_approx.py
+    oracle=_cms_oracle(),
     description=f"count-min-sketch heavy hitters: one partial-agged "
     f"pass merges per-partition CMS tables (eps={_EPS}, "
     f"confidence={_CONF}, seeded), exact top-{_TOP_K} candidates get "

@@ -174,3 +174,49 @@ def test_cms_string_key_path(spark):
     for r in rows:
         assert r.exact_n == exact[r.event_type]
         assert r.exact_n <= r.cms_n <= r.exact_n + r.eps_margin
+
+
+def test_cms_hash_replica_matches_spark_sketch(spark):
+    """The r12 value oracle re-derives CountMinSketchImpl's long-key
+    hash from first principles; pin both layers of the replica against
+    the real JVM sketch: (1) the java.util.Random(seed) multipliers,
+    (2) end-to-end estimateCount over adversarial keys (negative,
+    > 2^32, colliding)."""
+    from orca_spark.operators.sketches import (
+        _CMS_DEPTH,
+        _CMS_HASH_A,
+        _CMS_WIDTH,
+        _SEED,
+        _jrandom_longs,
+    )
+
+    assert _jrandom_longs(_SEED, _CMS_DEPTH) == _CMS_HASH_A
+
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.create(
+        0.001, 0.99, _SEED
+    )
+    assert cms.depth() == _CMS_DEPTH and cms.width() == _CMS_WIDTH
+
+    items = [1, 7, 7, 42, -5, -5, -5, 2**40 + 3, -(2**62), 0, 0]
+    for it in items:
+        cms.addLong(it)
+
+    m64 = (1 << 64) - 1
+
+    def cell(item, i):
+        x = (_CMS_HASH_A[i] * item) & m64
+        xs = x - (1 << 64) if x >= (1 << 63) else x
+        t = (xs + (xs >> 32)) & m64
+        return (t & 0x7FFFFFFF) % _CMS_WIDTH
+
+    table = [{} for _ in range(_CMS_DEPTH)]
+    for it in items:
+        for i in range(_CMS_DEPTH):
+            c = cell(it, i)
+            table[i][c] = table[i].get(c, 0) + 1
+    for probe in items + [99, -1, 2**55]:
+        expected = min(
+            table[i].get(cell(probe, i), 0) for i in range(_CMS_DEPTH)
+        )
+        assert cms.estimateCount(probe) == expected, probe

@@ -45,9 +45,12 @@ def test_oracles_are_subset_with_known_exceptions():
         # schema-level metadata via the Python merge lattice
         # (tests/test_schema_drift.py pins every classification)
         "schema_drift_report",
-        # count-min sketch estimates have no DuckDB counterpart
-        # (tests/test_approx.py: one-sided bound + exact mergeability)
-        "events_heavy_hitters_cms",
+        # (events_heavy_hitters_cms left this list in r12: DuckDB has no
+        # CMS, so the oracle re-derives Spark's sketch hashing from
+        # first principles — java.util.Random multipliers replicated in
+        # Python, wrapping arithmetic in HUGEINT, estimate = min over
+        # per-row collision sums; tests/test_approx.py pins the replica
+        # against the real JVM sketch)
         # (graph_label_propagation_simhash left this list in r12: its
         # banded edges are the dedup_simhash_pairs SQL, derivable since
         # the pure-SQL xxhash64 fragment)

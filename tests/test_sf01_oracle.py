@@ -234,6 +234,11 @@ HEAVY = [
     # every byte of 5000 UTF-8 payloads (~3.5 s DuckDB-side each)
     "multimodal_audio_features",
     "multimodal_video_scene_cuts",
+    # r12: count-min heavy hitters, oracled for the first time
+    # (rows-only r05-r11) — at sf0.1 the first-principles sketch
+    # re-derivation must agree with the real JVM CMS across the full
+    # user_id key population
+    "events_heavy_hitters_cms",
 ]
 
 _Q = queries()
