@@ -28,10 +28,11 @@ determinism is driver-checked by a FULL value oracle: DuckDB has no
 CMS, so the oracle re-derives Spark's sketch from first principles —
 ``CountMinSketchImpl.hash(long, i)`` is ``h = a_i * x`` (wrapping 64),
 ``h += h >> 32`` (arithmetic), ``h &= 2^31-1``, ``h % width``, with
-``a_i = java.util.Random(seed).nextLong()`` replicated in pure Python
-(``_jrandom_longs``, pinned by tests/test_approx.py against the
-literals below) and the wrapping arithmetic in HUGEINT (the xxh64_sql
-device). The estimate for a candidate is then ``min_i Σ counts of
+``a_i = java.util.Random(seed).nextInt(2^31-1)`` replicated in pure
+Python (``_jrandom_ints``, pinned by tests/test_approx.py against the
+hashA array extracted from a REAL serialized sketch plus a
+collision-dense estimate sweep) and the wrapping arithmetic in HUGEINT
+(the xxh64_sql device). The estimate for a candidate is then ``min_i Σ counts of
 keys colliding in row i`` — no counter table materialized, just seven
 group-bys over the per-key exact counts. The one-sided-error bound
 stays asserted in tests/test_approx.py.
@@ -55,27 +56,34 @@ _CMS_DEPTH = 7
 _CMS_WIDTH = 2000
 
 
-def _jrandom_longs(seed: int, n: int) -> list[int]:
-    """``java.util.Random(seed).nextLong()`` ×n, replicated exactly
-    (48-bit LCG, two signed 32-bit halves) — CountMinSketchImpl seeds
-    its per-row multipliers this way (initTablesWith)."""
+def _jrandom_ints(seed: int, n: int, bound: int = (1 << 31) - 1) -> list[int]:
+    """``java.util.Random(seed).nextInt(2^31-1)`` ×n, replicated
+    exactly — CountMinSketchImpl seeds its per-row multipliers this way
+    (initTablesWith: ``r.nextInt(Integer.MAX_VALUE)``, NOT nextLong —
+    the sf0.1 lane caught a first draft that assumed nextLong; the
+    r12 pin test now extracts hashA from a real serialized sketch).
+    Java's bounded nextInt for a non-power-of-two bound draws 31 bits
+    and takes ``u % bound`` with a rejection retry when
+    ``u - u%bound + bound-1`` overflows int32 (here: only u = 2^31-1).
+    """
     s = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
 
-    def nxt32() -> int:
+    def next31() -> int:
         nonlocal s
         s = (s * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
-        v = s >> 16
-        return v - (1 << 32) if v >= (1 << 31) else v
+        return s >> 17
 
-    out = []
-    for _ in range(n):
-        hi, lo = nxt32(), nxt32()
-        v = ((hi << 32) + lo) & ((1 << 64) - 1)
-        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    out: list[int] = []
+    m = bound - 1
+    while len(out) < n:
+        u = next31()
+        r = u % bound
+        if (u - r + m) < (1 << 31):
+            out.append(r)
     return out
 
 
-_CMS_HASH_A = _jrandom_longs(_SEED, _CMS_DEPTH)
+_CMS_HASH_A = _jrandom_ints(_SEED, _CMS_DEPTH)
 
 
 def _cms_oracle(key: str = "user_id", table: str = "events") -> str:

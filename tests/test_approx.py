@@ -179,18 +179,31 @@ def test_cms_string_key_path(spark):
 def test_cms_hash_replica_matches_spark_sketch(spark):
     """The r12 value oracle re-derives CountMinSketchImpl's long-key
     hash from first principles; pin both layers of the replica against
-    the real JVM sketch: (1) the java.util.Random(seed) multipliers,
-    (2) end-to-end estimateCount over adversarial keys (negative,
-    > 2^32, colliding)."""
+    the real JVM sketch:
+
+    (1) the seeded multipliers, read OUT OF a real serialized sketch
+        (version int, totalCount long, depth int, width int,
+        hashA[depth] longs, ... — big-endian). This is the check that
+        would have caught the first-draft replica, which assumed
+        ``nextLong()`` seeding where the real impl draws
+        ``nextInt(2^31-1)``: a collision-free toy sweep cannot
+        distinguish hash functions, so the pin MUST compare hashA
+        itself;
+    (2) end-to-end estimateCount over a COLLISION-DENSE key set (more
+        keys than sketch width, plus negative / >2^32 outliers), where
+        a wrong hash shifts some min over collided cells.
+    """
+    import struct
+
     from orca_spark.operators.sketches import (
         _CMS_DEPTH,
         _CMS_HASH_A,
         _CMS_WIDTH,
         _SEED,
-        _jrandom_longs,
+        _jrandom_ints,
     )
 
-    assert _jrandom_longs(_SEED, _CMS_DEPTH) == _CMS_HASH_A
+    assert _jrandom_ints(_SEED, _CMS_DEPTH) == _CMS_HASH_A
 
     jvm = spark.sparkContext._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.create(
@@ -198,9 +211,16 @@ def test_cms_hash_replica_matches_spark_sketch(spark):
     )
     assert cms.depth() == _CMS_DEPTH and cms.width() == _CMS_WIDTH
 
-    items = [1, 7, 7, 42, -5, -5, -5, 2**40 + 3, -(2**62), 0, 0]
+    items = list(range(3 * _CMS_WIDTH)) + [-5, -5, 2**40 + 3, -(2**62), 0]
     for it in items:
         cms.addLong(it)
+
+    hdr = struct.unpack_from(">iqii", bytes(cms.toByteArray()), 0)
+    assert hdr == (1, len(items), _CMS_DEPTH, _CMS_WIDTH)
+    stored_hash_a = struct.unpack_from(
+        f">{_CMS_DEPTH}q", bytes(cms.toByteArray()), 20
+    )
+    assert list(stored_hash_a) == _CMS_HASH_A
 
     m64 = (1 << 64) - 1
 
@@ -215,8 +235,12 @@ def test_cms_hash_replica_matches_spark_sketch(spark):
         for i in range(_CMS_DEPTH):
             c = cell(it, i)
             table[i][c] = table[i].get(c, 0) + 1
-    for probe in items + [99, -1, 2**55]:
+    mismatches = 0
+    for probe in items + [99999999, -1, 2**55]:
         expected = min(
             table[i].get(cell(probe, i), 0) for i in range(_CMS_DEPTH)
         )
         assert cms.estimateCount(probe) == expected, probe
+        mismatches += expected > items.count(probe)
+    # the sweep must actually have exercised collisions to mean anything
+    assert mismatches > 0, "collision-free sweep cannot pin the hash"
