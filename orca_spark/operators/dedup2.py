@@ -32,6 +32,28 @@ _N_CHUNKS = 4          # 64 bits -> 4 x 16-bit chunks
 _MAX_HAMMING = 3       # pigeonhole-exact for k <= _N_CHUNKS - 1
 
 
+def simhash_banded_cand_cte() -> str:
+    """``chunks`` + ``cand`` CTE block (assumes the ``sig`` CTE from
+    dedup.simhash_oracle_cte is in scope): chunk pigeonhole buckets on
+    the unsigned signature, DISTINCT candidate pairs carrying both
+    signatures as ``sa``/``sb``. Parametrized on _N_CHUNKS so a retune
+    moves every consumer — the registered pairs oracle here AND the
+    banded label-propagation edge oracle (graph.py) — together;
+    consumers apply their own hamming verify against _MAX_HAMMING."""
+    return f"""chunks AS (
+            SELECT doc_id, simhash, c,
+                   (u // (CAST(1 AS HUGEINT) << CAST({64 // _N_CHUNKS}*c AS INT)))
+                       % {1 << (64 // _N_CHUNKS)} AS bucket
+            FROM sig, UNNEST(range({_N_CHUNKS})) AS cc(c)
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   l.simhash AS sa, r.simhash AS sb
+            FROM chunks l JOIN chunks r
+              ON l.c = r.c AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        )"""
+
+
 def simhash_pairs(sig: DataFrame, max_hamming: int = _MAX_HAMMING) -> DataFrame:
     """(doc_id, simhash) → (doc_a, doc_b, hamming) with hamming <= k.
 
@@ -89,18 +111,7 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = _MAX_HAMMING) -> DataFrame:
     # hash-checks the pair set exactly, pigeonhole recall included.
     oracle=f"""
         WITH {simhash_oracle_cte()},
-        chunks AS (
-            SELECT doc_id, simhash, c,
-                   (u // (CAST(1 AS HUGEINT) << CAST({64 // _N_CHUNKS}*c AS INT)))
-                       % {1 << (64 // _N_CHUNKS)} AS bucket
-            FROM sig, UNNEST(range({_N_CHUNKS})) AS cc(c)
-        ),
-        cand AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-                   l.simhash AS sa, r.simhash AS sb
-            FROM chunks l JOIN chunks r
-              ON l.c = r.c AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-        )
+        {simhash_banded_cand_cte()}
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= {_MAX_HAMMING}

@@ -444,20 +444,18 @@ def _lp_simhash_edges_sql() -> str:
     """Edge CTE block for the banded variant: the dedup_simhash_pairs
     SQL (pure-SQL xxhash64 signatures + chunk pigeonhole buckets +
     hamming verify), mirrored both directions. Derivable since the r12
-    xxhash64 fragment — this was the last rows-only graph surface."""
+    xxhash64 fragment — this was the last rows-only graph surface.
+    The bucketing block is dedup2's shared fragment, not a re-spelled
+    copy, so a retune of _N_CHUNKS/_MAX_HAMMING there moves the Spark
+    edge set (simhash_pairs) and BOTH oracles together."""
     from orca_spark.operators.dedup import simhash_oracle_cte
+    from orca_spark.operators.dedup2 import _MAX_HAMMING, simhash_banded_cand_cte
 
     return f"""{simhash_oracle_cte()},
-chunks AS (
-  SELECT doc_id, simhash, c,
-         (u // (CAST(1 AS HUGEINT) << CAST(16*c AS INT))) % 65536 AS bucket
-  FROM sig, UNNEST(range(4)) AS cc(c)
-),
+{simhash_banded_cand_cte()},
 kept AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM chunks l JOIN chunks r
-    ON l.c = r.c AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(sa, sb)) <= {_MAX_HAMMING}
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM kept

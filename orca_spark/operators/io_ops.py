@@ -33,11 +33,15 @@ def scratch_path(name: str, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(_SCRATCH, f"{name}_{tag}")
     sf_abs = os.path.abspath(os.path.normpath(sf_dir))
-    assert not os.path.abspath(out).startswith(sf_abs + os.sep), (
-        f"scratch_path {out!r} would write under the immutable corpus "
-        f"dir {sf_dir!r} — the table-relation cache would serve stale "
-        "file listings"
-    )
+    out_abs = os.path.abspath(out)
+    # ValueError, not assert: the guard must hold under python -O too,
+    # and must also reject out == sf_dir, not just strict descendants
+    if out_abs == sf_abs or out_abs.startswith(sf_abs + os.sep):
+        raise ValueError(
+            f"scratch_path {out!r} would write under the immutable corpus "
+            f"dir {sf_dir!r} — the table-relation cache would serve stale "
+            "file listings"
+        )
     return out
 
 

@@ -190,17 +190,20 @@ def audio_features_kernel(batch: pd.DataFrame) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 _BYTES_SQL = """
-        b AS (
+        bh AS (
             SELECT doc_id, octet_length(encode(text)) AS n,
-                   list_transform(range(0, octet_length(encode(text))), i ->
-                       (strpos('0123456789ABCDEF',
-                               substr(hex(encode(text)),
-                                      CAST(2*i+1 AS BIGINT), 1)) - 1) * 16
-                     + (strpos('0123456789ABCDEF',
-                               substr(hex(encode(text)),
-                                      CAST(2*i+2 AS BIGINT), 1)) - 1)) AS bs
+                   hex(encode(text)) AS h
             FROM documents
             WHERE text IS NOT NULL
+        ),
+        b AS (
+            SELECT doc_id, n,
+                   list_transform(range(0, n), i ->
+                       (strpos('0123456789ABCDEF',
+                               substr(h, CAST(2*i+1 AS BIGINT), 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                               substr(h, CAST(2*i+2 AS BIGINT), 1)) - 1)) AS bs
+            FROM bh
         )
 """
 

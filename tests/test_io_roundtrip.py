@@ -301,6 +301,25 @@ def test_cross_engine_pyarrow_reads_nested_orc(spark, orc_path):
     assert got == want
 
 
+def test_scratch_path_guard_fires_inside_corpus():
+    """The corpus-immutability guard is structural, not conventional
+    (r11 verdict "what's wrong" #4): a scratch target under — or equal
+    to — the corpus dir must raise, in optimized mode too (ValueError,
+    not assert)."""
+    import pytest
+
+    from orca_spark.operators import io_ops
+
+    orig = io_ops._SCRATCH
+    try:
+        # force the computed target inside the corpus dir
+        io_ops._SCRATCH = "/root/testdata/sf0.001"
+        with pytest.raises(ValueError, match="immutable corpus"):
+            io_ops.scratch_path("x", "/root/testdata/sf0.001")
+    finally:
+        io_ops._SCRATCH = orig
+
+
 def test_compaction_layout_key_clustered(spark):
     """The compacted layout's files carry disjoint l_orderkey ranges —
     the property that lets a key-range scan prune whole files — and a

@@ -986,13 +986,21 @@ def test_corpora_never_hit_container_branches():
     the value-level oracle compare)."""
     import duckdb
 
+    from conftest import SF_DIR, SF_DIR_ORACLE
+
+    # The dirs the suite ACTUALLY runs against (env overrides included)
+    # plus the bench corpus — a guard that only ever looked at hardcoded
+    # paths would go vacuously green on a relocated checkout while the
+    # oracles' stub-branch assumption silently stopped being checked.
+    dirs = {SF_DIR, SF_DIR_ORACLE,
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}
+    paths = [os.path.join(d, "documents.parquet") for d in sorted(dirs)]
+    found = [p for p in paths if os.path.exists(p)]
+    assert found, f"no documents corpus found under any of {paths}"
     con = duckdb.connect()
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        path = f"/root/testdata/{sf}/documents.parquet"
-        if not os.path.exists(path):
-            continue
+    for path in found:
         n = con.execute(
             f"SELECT count(*) FROM '{path}' WHERE text LIKE 'RIFF%'"
             f" OR text LIKE 'YUV4MPEG2%'"
         ).fetchone()[0]
-        assert n == 0, f"{sf}: {n} texts carry a container magic prefix"
+        assert n == 0, f"{path}: {n} texts carry a container magic prefix"
