@@ -305,8 +305,11 @@ def _minhash_cte() -> str:
         for i in range(_K)
     )
     sig_list = "[" + ", ".join(f"m{i}" for i in range(_K)) + "]"
+    # stride derived, not hardcoded: a _K/_BANDS retune must move the
+    # Spark banded_buckets (r = _K // _BANDS) and this oracle together
     band_str = " || ',' || ".join(
-        f"CAST(sg[4*b+{j+1}] AS VARCHAR)" for j in range(_K // _BANDS)
+        f"CAST(sg[{_K // _BANDS}*b+{j+1}] AS VARCHAR)"
+        for j in range(_K // _BANDS)
     )
     return f"""
         tk0 AS MATERIALIZED (

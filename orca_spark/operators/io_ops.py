@@ -32,8 +32,10 @@ def scratch_path(name: str, sf_dir: str) -> str:
     (r11 verdict "what's wrong" #4)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(_SCRATCH, f"{name}_{tag}")
-    sf_abs = os.path.abspath(os.path.normpath(sf_dir))
-    out_abs = os.path.abspath(out)
+    # realpath, not abspath: a symlinked corpus (or scratch) path must
+    # not slip past the containment check on spelling alone
+    sf_abs = os.path.realpath(sf_dir)
+    out_abs = os.path.realpath(out)
     # ValueError, not assert: the guard must hold under python -O too,
     # and must also reject out == sf_dir, not just strict descendants
     if out_abs == sf_abs or out_abs.startswith(sf_abs + os.sep):

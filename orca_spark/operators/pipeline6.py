@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from orca_spark.operators.multimodal7 import _PPM_TILE_SQL, phash_ppm_table
 from orca_spark.operators.pipeline4 import gated_docs
 from orca_spark.operators.pipeline5 import _GATE_SQL
+from orca_spark.operators.text21 import scrub_finale
 from orca_spark.registry import register
 from orca_spark.tables import load
 
@@ -324,41 +325,7 @@ def pipeline_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nsc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_scrubbed"))
-    pos = corpus.select(
-        "doc_id", F.posexplode("toks").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("idx"), "tok")
-    keep = (
-        pos.join(cov, ["doc_id", "idx"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.expr(
-                        "transform(array_sort(collect_list("
-                        "struct(idx, tok))), s -> s.tok)"
-                    ),
-                )
-            ).alias("kept_md5")
-        )
-    )
-    return (
-        corpus.join(nsc, "doc_id", "left")
-        .join(keep, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.size("toks").cast("long").alias("n_tokens"),
-            F.coalesce(F.col("n_scrubbed"), F.lit(0))
-            .cast("long")
-            .alias("n_scrubbed"),
-            F.when(F.size("toks") == 0, F.lit(None))
-            .otherwise(
-                F.expr("coalesce(n_scrubbed, 0) * 1000000 div size(toks)")
-            )
-            .cast("long")
-            .alias("scrubbed_ppm"),
-            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
-        )
-    )
+    # the accounting finale (nsc/pos/keep + the value-checked select)
+    # is text21's shared builder — the three span-scrub surfaces cannot
+    # drift apart
+    return scrub_finale(corpus, cov, extra_cols=("source",))

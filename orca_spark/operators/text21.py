@@ -53,6 +53,144 @@ _SPAN_N = 8  # same gram width as the text11 family — outputs comparable
 _SHIFT = 1 << 32  # pk = doc_id * 2^32 + i : order-isomorphic to (doc_id, i)
 
 
+# The string-keyed and hashed-keyed forms (and pipeline6's span-scrub
+# finale) share one set of builders: the accounting contract and the
+# pk-packing guards exist ONCE, so a future change cannot silently
+# diverge between the three registered surfaces.
+
+
+def guarded_tokens(docs: DataFrame, opname: str) -> DataFrame:
+    """(doc_id, toks) with both pk-packing guards asserted once per
+    DOCUMENT at the tokenize boundary (O(docs), not O(grams)):
+    doc_id ∈ [0, 2^31) and size(toks) < 2^32 - _SPAN_N, because a
+    silent BIGINT overflow (or a broken (doc_id, i) order-isomorphism)
+    would silently move the canonical copy. NULL doc_id passes through
+    (dropped by the joins like every other NULL key — raising here
+    would let filter/projection reordering abort on rows an upstream
+    filter already excluded, the hazard similarity._guard_width
+    documents); only genuinely out-of-range values raise."""
+    return docs.select(
+        F.expr(
+            "case when doc_id is null then doc_id "
+            "when doc_id between 0 and 2147483647 then doc_id "
+            f"else raise_error(concat('{opname}: doc_id ', "
+            "cast(doc_id as string), ' outside [0, 2^31) — pk packing "
+            "would overflow')) end"
+        ).alias("doc_id"),
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"case when size(toks) >= {(1 << 32) - _SPAN_N} then "
+            f"raise_error(concat('{opname}: document ', "
+            "cast(doc_id as string), ' has ', cast(size(toks) as string), "
+            "' tokens — gram positions would overflow the pk packing')) "
+            "else toks end"
+        ).alias("toks"),
+    )
+
+
+def positioned_grams(toks: DataFrame, key: str, hashed: bool) -> DataFrame:
+    """(doc_id, i, pk, <key>) positioned gram stream. ``hashed`` keys
+    grams by ``xxhash64(gram)`` LONGS (8-byte shuffle keys) instead of
+    the gram string — the 100 TB form; grouping by the hash is
+    equivalent to grouping by the string absent a 64-bit collision."""
+    gram = f"concat_ws(' ', slice(toks, i, {_SPAN_N}))"
+    if hashed:
+        gram = f"xxhash64({gram})"
+    return (
+        toks.where(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
+                    f" i -> {gram})"
+                )
+            ).alias("p0", key),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("i"),
+            (F.col("doc_id") * F.lit(_SHIFT) + F.col("p0") + 1).alias("pk"),
+            key,
+        )
+    )
+
+
+def keep_one_cover(grams: DataFrame, key: str) -> DataFrame:
+    """(doc_id, idx) cover of every NON-canonical occurrence of a
+    duplicated gram: one gram-keyed aggregate carrying min(pk) (an
+    8-byte map-side-combinable partial next to the count), join-back
+    filtered to pk != min_pk, bounded _SPAN_N× span explode,
+    (doc_id, idx)-keyed distinct."""
+    gd = (
+        grams.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("pk").alias("min_pk"))
+        .where(F.col("cnt") > 1)
+        .select(key, "min_pk")
+    )
+    return (
+        grams.join(gd, key)
+        .where(F.col("pk") != F.col("min_pk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(_SPAN_N - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+
+
+def scrub_finale(
+    base: DataFrame, cov: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The text11 accounting contract over (doc_id, toks[, extra]) and a
+    (doc_id, idx) scrub cover: per-doc scrub count, kept-text md5 via
+    the (doc_id, idx)-keyed anti-join, BIGINT truncating-division ppm.
+    Shared by both text21 forms AND pipeline6's decontaminate-scrub, so
+    the driver-value-checked finale exists exactly once."""
+    nsc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_scrubbed"))
+    pos = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("idx"), "tok")
+    keep = (
+        pos.join(cov, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(idx, tok))), s -> s.tok)"
+                    ),
+                )
+            ).alias("kept_md5")
+        )
+    )
+    return (
+        base.join(nsc, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_scrubbed"), F.lit(0))
+            .cast("long")
+            .alias("n_scrubbed"),
+            F.when(F.size("toks") == 0, F.lit(None))
+            .otherwise(
+                F.expr("coalesce(n_scrubbed, 0) * 1000000 div size(toks)")
+            )
+            .cast("long")
+            .alias("scrubbed_ppm"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
 @register(
     "dedup_span_exactsubstr",
     oracle=f"""
@@ -126,109 +264,9 @@ def dedup_span_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize boundary (O(docs), not O(grams)), because a silent BIGINT
     overflow would silently move the canonical copy."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = docs.select(
-        # NULL passes through (dropped by the joins like every other
-        # NULL key — raising here would let filter/projection reordering
-        # abort on rows an upstream filter already excluded, the same
-        # hazard similarity._guard_width documents); only a genuinely
-        # out-of-range id raises
-        F.expr(
-            "case when doc_id is null then doc_id "
-            "when doc_id between 0 and 2147483647 then doc_id "
-            "else raise_error(concat('dedup_span_exactsubstr: doc_id ', "
-            "cast(doc_id as string), ' outside [0, 2^31) — pk packing "
-            "would overflow')) end"
-        ).alias("doc_id"),
-        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
-    ).select(
-        "doc_id",
-        # second half of the packing contract (r11 advisor note): the
-        # position factor needs i < 2^32, so a document long enough for
-        # any gram position to reach 2^32 - _SPAN_N must raise too —
-        # otherwise pk at max doc_id overflows BIGINT (ANSI abort deep in
-        # the plan) or, worse, breaks the (doc_id, i) order-isomorphism
-        # and silently moves the canonical copy. Same O(docs) cost: one
-        # size() per document at the tokenize boundary.
-        F.expr(
-            f"case when size(toks) >= {(1 << 32) - _SPAN_N} then "
-            "raise_error(concat('dedup_span_exactsubstr: document ', "
-            "cast(doc_id as string), ' has ', cast(size(toks) as string), "
-            "' tokens — gram positions would overflow the pk packing')) "
-            "else toks end"
-        ).alias("toks"),
-    )
-    grams = (
-        toks.where(F.size("toks") >= _SPAN_N)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
-                    f" i -> concat_ws(' ', slice(toks, i, {_SPAN_N})))"
-                )
-            ).alias("p0", "gram"),
-        )
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("i"),
-            (F.col("doc_id") * F.lit(_SHIFT) + F.col("p0") + 1).alias("pk"),
-            "gram",
-        )
-    )
-    gd = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("pk").alias("min_pk"))
-        .where(F.col("cnt") > 1)
-        .select("gram", "min_pk")
-    )
-    cov = (
-        grams.join(gd, "gram")
-        .where(F.col("pk") != F.col("min_pk"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("i"), F.col("i") + F.lit(_SPAN_N - 1))
-            ).alias("idx"),
-        )
-        .distinct()
-    )
-    nsc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_scrubbed"))
-    pos = toks.select(
-        "doc_id", F.posexplode("toks").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("idx"), "tok")
-    keep = (
-        pos.join(cov, ["doc_id", "idx"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.expr(
-                        "transform(array_sort(collect_list("
-                        "struct(idx, tok))), s -> s.tok)"
-                    ),
-                )
-            ).alias("kept_md5")
-        )
-    )
-    return (
-        toks.join(nsc, "doc_id", "left")
-        .join(keep, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_tokens"),
-            F.coalesce(F.col("n_scrubbed"), F.lit(0))
-            .cast("long")
-            .alias("n_scrubbed"),
-            F.when(F.size("toks") == 0, F.lit(None))
-            .otherwise(
-                F.expr("coalesce(n_scrubbed, 0) * 1000000 div size(toks)")
-            )
-            .cast("long")
-            .alias("scrubbed_ppm"),
-            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
-        )
-    )
+    toks = guarded_tokens(docs, "dedup_span_exactsubstr")
+    grams = positioned_grams(toks, "gram", hashed=False)
+    return scrub_finale(toks, keep_one_cover(grams, "gram"))
 
 
 @register(
@@ -259,98 +297,11 @@ def dedup_span_exactsubstr_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     localCheckpoint-persisted and feeds both the duplicate aggregate
     and the join-back without re-tokenizing."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = docs.select(
-        F.expr(
-            "case when doc_id is null then doc_id "
-            "when doc_id between 0 and 2147483647 then doc_id "
-            "else raise_error(concat('dedup_span_exactsubstr_hashed: "
-            "doc_id ', cast(doc_id as string), ' outside [0, 2^31) — pk "
-            "packing would overflow')) end"
-        ).alias("doc_id"),
-        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
-    ).select(
-        "doc_id",
-        F.expr(
-            f"case when size(toks) >= {(1 << 32) - _SPAN_N} then "
-            "raise_error(concat('dedup_span_exactsubstr_hashed: document "
-            "', cast(doc_id as string), ' has ', cast(size(toks) as "
-            "string), ' tokens — gram positions would overflow the pk "
-            "packing')) else toks end"
-        ).alias("toks"),
+    toks = guarded_tokens(docs, "dedup_span_exactsubstr_hashed")
+    grams = positioned_grams(toks, "gram_h", hashed=True).localCheckpoint(
+        eager=False  # tokenize+hash once, consume twice
     )
-    grams = (
-        toks.where(F.size("toks") >= _SPAN_N)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
-                    f" i -> xxhash64(concat_ws(' ', slice(toks, i, {_SPAN_N}))))"
-                )
-            ).alias("p0", "gram_h"),
-        )
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("i"),
-            (F.col("doc_id") * F.lit(_SHIFT) + F.col("p0") + 1).alias("pk"),
-            "gram_h",
-        )
-        .localCheckpoint(eager=False)  # tokenize+hash once, consume twice
-    )
-    gd = (
-        grams.groupBy("gram_h")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("pk").alias("min_pk"))
-        .where(F.col("cnt") > 1)
-        .select("gram_h", "min_pk")
-    )
-    cov = (
-        grams.join(gd, "gram_h")
-        .where(F.col("pk") != F.col("min_pk"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("i"), F.col("i") + F.lit(_SPAN_N - 1))
-            ).alias("idx"),
-        )
-        .distinct()
-    )
-    nsc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_scrubbed"))
-    pos = toks.select(
-        "doc_id", F.posexplode("toks").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("idx"), "tok")
-    keep = (
-        pos.join(cov, ["doc_id", "idx"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.expr(
-                        "transform(array_sort(collect_list("
-                        "struct(idx, tok))), s -> s.tok)"
-                    ),
-                )
-            ).alias("kept_md5")
-        )
-    )
-    return (
-        toks.join(nsc, "doc_id", "left")
-        .join(keep, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_tokens"),
-            F.coalesce(F.col("n_scrubbed"), F.lit(0))
-            .cast("long")
-            .alias("n_scrubbed"),
-            F.when(F.size("toks") == 0, F.lit(None))
-            .otherwise(
-                F.expr("coalesce(n_scrubbed, 0) * 1000000 div size(toks)")
-            )
-            .cast("long")
-            .alias("scrubbed_ppm"),
-            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
-        )
-    )
+    return scrub_finale(toks, keep_one_cover(grams, "gram_h"))
 
 
 def _selfrepeat_oracle() -> str:

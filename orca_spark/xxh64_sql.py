@@ -289,16 +289,3 @@ def to_signed(u: str) -> str:
         f"CAST(CASE WHEN {t} >= {1 << 63} THEN {t} - {_M64} "
         f"ELSE {t} END AS BIGINT)",
     )
-
-
-def xxh64_chain(cols: list[str], seed: int = 42) -> str:
-    """Spark's multi-argument ``xxhash64(c1, c2, ...)`` over string
-    expressions: each argument hashed with the running hash as seed.
-    Returns the UNSIGNED HUGEINT form (wrap with :func:`to_signed`).
-    Prefer applying :func:`xxh64` stage-by-stage across CTE columns for
-    big inputs — the chain inlines each stage's ~15 KB fragment.
-    """
-    acc = str(seed)
-    for c in cols:
-        acc = xxh64(c, acc)
-    return acc
