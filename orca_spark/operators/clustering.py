@@ -68,6 +68,18 @@ def kmeans_fit(
     clusters keep their previous centroid (the standard Lloyd's rule).
     """
     emb = emb.persist()
+    # The loop's per-round jobs are model-sized aggregations (k×dim rows
+    # out): AQE's runtime re-planning buys nothing for that fixed
+    # two-stage shape but costs an extra scheduling round + driver
+    # re-optimization per iteration — measured ~2× on the whole fit at
+    # sf0.1, and the same fixed overhead per round on a cluster. Scoped
+    # off for the loop and restored after, the same pattern
+    # dedup.connected_components uses for its loop's shuffle width
+    # (guide §1.2: config after algorithm — the algorithm here is
+    # per-round model-sized aggregation, which AQE cannot improve).
+    spark = emb.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # distributed deterministic seed: bucket means of vec_id % k
         seeded = emb.withColumn("cid", (F.col("vec_id") % k).cast("int"))
@@ -110,6 +122,7 @@ def kmeans_fit(
                 break
         return cents, inertia
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         emb.unpersist()
 
 
@@ -174,11 +187,26 @@ def _recompute(
 def embeddings_kmeans_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     cents, _ = kmeans_fit(emb, compute_inertia=False)
-    sizes = (
+    # Final per-cluster sizes: the aggregation output is at most k rows —
+    # MODEL-sized, so it is collected like every other model artifact in
+    # this module and re-joined as a LOCAL relation. The previous form
+    # kept `sizes` as a lazy subtree under the left join, which planned
+    # it as the join's BUILD side: the whole assign+aggregate pass ran
+    # inside a single-threaded BroadcastExchange collect (measured 3.4 s
+    # of a 8.6 s query at sf0.1 — an Exchange the plan doesn't need,
+    # guide §2.4/§5). Collecting the k-row aggregate directly runs the
+    # scan as a normal parallel job and the remaining join is
+    # local-relation × local-relation.
+    sizes_rows = (
         ivf_assign(emb, cents, nprobe=1)
         .select(F.col("clusters")[0].alias("cluster_id"))
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .collect()
+    )
+    sizes = spark.createDataFrame(
+        [(int(r.cluster_id), int(r.n_assigned)) for r in sizes_rows],
+        "cluster_id int, n_assigned long",
     )
     cdf = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents], "cluster_id int, c array<double>"
