@@ -624,8 +624,19 @@ def gram_near_dup_pairs(
     assigned = ivf_assign(widen(emb), cents, nprobe=nprobe).select(
         "vec_id", "e", "clusters"
     )
+    # explode_OUTER, deliberately: a plain explode lets Catalyst's
+    # InferFiltersFromGenerate derive `size(clusters) > 0` and push it
+    # through the widen exchange into the scan stage — where `clusters`
+    # is not a column yet, so the ENTIRE k×dim literal argmin expression
+    # gets substituted into the pushed filter and re-evaluated per row,
+    # single-threaded, before the exchange (measured 2.5 s of scan-stage
+    # CPU at sf0.1, ~4× the whole query's useful work; guide §7.2
+    # "duplicated subtrees"). `clusters` is non-empty by construction
+    # (validated width + fixed nprobe slice of a k-struct sort), so the
+    # outer form emits the identical row set (asserted value-level in
+    # tests) while generating no pushable filter.
     keyed = assigned.select(
-        "vec_id", "e", "clusters", F.explode("clusters").alias("c")
+        "vec_id", "e", "clusters", F.explode_outer("clusters").alias("c")
     )
     if salt > 1:
         # deterministic shard: xxhash64 of the id, never a RNG; a
@@ -645,7 +656,10 @@ def gram_near_dup_pairs(
             keyed.withColumn(
                 "shard", F.pmod(F.xxhash64("vec_id"), F.lit(salt)).cast("int")
             )
-            .withColumn("blk", F.explode(blocks))
+            .withColumn("blk", F.explode_outer(blocks))  # same rationale:
+            # blocks is never empty (sequence 0..salt-1 has >= 1 element),
+            # and the non-outer form's inferred size() filter would drag
+            # the argmin expression into the scan stage again
             .select(
                 "*", F.col("blk.i").alias("bi"), F.col("blk.j").alias("bj")
             )
