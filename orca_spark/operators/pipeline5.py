@@ -347,7 +347,16 @@ _GATE_SQL = f"""
 def pipeline_curation_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    kept = gated_docs(spark, sf_dir)
+    # The gated corpus feeds BOTH split sides and, through them, every
+    # history artifact and the delta pass — a dozen-plus references to
+    # the same gate+tokenize subtree. Left lazy, Spark plans each
+    # model-sized artifact as a broadcast build side whose job re-runs
+    # the whole gate single-threaded inside the BroadcastExchange
+    # collect (~36 one-task jobs per execution). Materialize it ONCE as
+    # a parallel job and let everything downstream read the blocks; the
+    # checkpoint is the operator's own linear working set (gated docs,
+    # no pairwise blowup), recomputed from parquet on every invocation.
+    kept = gated_docs(spark, sf_dir).localCheckpoint(eager=True)
     thr = F.broadcast(
         kept.agg(
             F.expr(
@@ -363,16 +372,27 @@ def pipeline_curation_incremental(
     d_kept = kept.where(F.col("doc_id") > F.col("thr")).drop("thr")
 
     # --- history snapshot artifacts (read from parquet in production;
-    # computed inline here so the oracle can hash-check the contract)
-    h_surv1 = h_kept.groupBy(F.xxhash64("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    h_exact = h_kept.join(h_surv1.select("doc_id"), "doc_id")
+    # computed inline here so the oracle can hash-check the contract).
+    # Survivor SELECTION is a window min over the dedup key — one
+    # shuffle, against the groupBy+self-join form's two (agg exchange +
+    # join exchange) for the identical keep-min-doc_id semantics. The
+    # key-only index frames (h_surv1/h_surv2) are still built for the
+    # delta anti-joins.
     prefix = F.xxhash64(F.concat_ws(" ", F.slice("toks", 1, _PREFIX_TOKS)))
-    h_surv2 = h_exact.groupBy(prefix.alias("p")).agg(
-        F.min("doc_id").alias("doc_id")
+    w_hash = W.partitionBy(F.xxhash64("text"))
+    h_exact = (
+        h_kept.withColumn("_m", F.min("doc_id").over(w_hash))
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
     )
-    h_corpus = h_exact.join(h_surv2.select("doc_id"), "doc_id")
+    w_pref = W.partitionBy(prefix)
+    h_corpus = (
+        h_exact.withColumn("_m", F.min("doc_id").over(w_pref))
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
+    )
+    h_surv1 = h_kept.select(F.xxhash64("text").alias("h")).distinct()
+    h_surv2 = h_exact.select(prefix.alias("p")).distinct()
 
     h_tok = h_corpus.select("doc_id", "source", F.explode("toks").alias("w"))
     cc = h_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_c"))
@@ -388,15 +408,21 @@ def pipeline_curation_incremental(
 
     # --- the per-ingest delta pass
     d1 = d_kept.withColumn("h", F.xxhash64("text")).join(
-        h_surv1.select("h"), "h", "left_anti"
+        h_surv1, "h", "left_anti"
     )
-    d_surv1 = d1.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    d_exact = d1.join(d_surv1.select("doc_id"), "doc_id").drop("h")
+    d_exact = (
+        d1.withColumn("_m", F.min("doc_id").over(W.partitionBy("h")))
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m", "h")
+    )
     d2 = d_exact.withColumn("p", prefix).join(
-        h_surv2.select("p"), "p", "left_anti"
+        h_surv2, "p", "left_anti"
     )
-    d_surv2 = d2.groupBy("p").agg(F.min("doc_id").alias("doc_id"))
-    d_corpus = d2.join(d_surv2.select("doc_id"), "doc_id").drop("p")
+    d_corpus = (
+        d2.withColumn("_m", F.min("doc_id").over(W.partitionBy("p")))
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m", "p")
+    )
     d_tok = d_corpus.select("doc_id", F.explode("toks").alias("w"))
     d_manifest = group_manifest(
         d_corpus, dsir_scores(d_tok, cc, ct, scal, tt, frozen=True)
