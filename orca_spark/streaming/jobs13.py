@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orca_spark.operators.pipeline4 import _PREFIX_TOKS, gate_rows, gated_docs
@@ -79,7 +79,7 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # builders — materialize it once instead of re-gating per consumer
     # (in production the history summarization is its own job and this
     # is its scan; here it keeps the inline form from paying 5x)
-    kept = gated_docs(spark, sf_dir).localCheckpoint(eager=False)
+    kept = gated_docs(spark, sf_dir).localCheckpoint(eager=True)
     thr_val = kept.agg(
         F.expr(f"max(doc_id) * {_SPLIT_NUM} div {_SPLIT_DEN}")
     ).collect()[0][0]
@@ -95,15 +95,32 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     thr = int(thr_val)
     h_kept = kept.where(F.col("doc_id") <= thr)
-    h_surv1 = h_kept.groupBy(F.xxhash64("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    h_exact = h_kept.join(h_surv1.select("doc_id"), "doc_id")
+    # survivor SELECTION is a window min over the dedup key (one
+    # shuffle; identical keep-min-doc_id semantics to the old
+    # groupBy+self-join form, which paid agg + join exchanges) — the
+    # same shape pipeline5's batch form uses; the PERSISTED indexes
+    # stay key-only distincts
     prefix = F.xxhash64(F.concat_ws(" ", F.slice("toks", 1, _PREFIX_TOKS)))
-    h_surv2 = h_exact.groupBy(prefix.alias("p")).agg(
-        F.min("doc_id").alias("doc_id")
+    w_hash = Window.partitionBy(F.xxhash64("text"))
+    # the six artifact writes below are separate ACTIONS — lazily
+    # checkpoint each survivor tier so the window shuffles run once and
+    # every later action reads the materialized blocks instead of
+    # re-deduping from the gate
+    h_exact = (
+        h_kept.withColumn("_m", F.min("doc_id").over(w_hash))
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
+        .localCheckpoint(eager=False)
     )
-    h_corpus = h_exact.join(h_surv2.select("doc_id"), "doc_id")
+    w_pref = Window.partitionBy(prefix)
+    h_corpus = (
+        h_exact.withColumn("_m", F.min("doc_id").over(w_pref))
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
+        .localCheckpoint(eager=False)
+    )
+    h_surv1 = h_kept.select(F.xxhash64("text").alias("h")).distinct()
+    h_surv2 = h_exact.select(prefix.alias("p")).distinct()
     h_tok = h_corpus.select("doc_id", "source", F.explode("toks").alias("w"))
     cc = h_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_c"))
     from orca_spark.operators.curation2 import _DSIR_TARGET
@@ -113,22 +130,28 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
-    scal = cc.agg(
-        F.sum("c_c").alias("total_c"), F.count(F.lit(1)).alias("v")
-    ).crossJoin(ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("total_t")))
-    h_surv1.select("h").write.parquet(exact_idx)
-    h_surv2.select("p").write.parquet(prefix_idx)
+    h_surv1.write.parquet(exact_idx)
+    h_surv2.write.parquet(prefix_idx)
     cc.write.parquet(model_cc)
     ct.write.parquet(model_ct)
+    # the history DSIR pass scores against the model READ BACK from its
+    # persisted parquet form — the same frozen-model artifacts every
+    # micro-batch uses (and one fewer recompute of the vocab aggs)
+    cc_p = spark.read.parquet(model_cc)
+    ct_p = spark.read.parquet(model_ct)
+    scal = cc_p.agg(
+        F.sum("c_c").alias("total_c"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(ct_p.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("total_t")))
     scal.write.parquet(model_scal)
+    scal_p = spark.read.parquet(model_scal)
     h_manifest = group_manifest(
         h_corpus,
         dsir_scores(
             h_tok,
-            cc,
-            ct,
-            scal.select("total_c", "v"),
-            scal.select("total_t"),
+            cc_p,
+            ct_p,
+            scal_p.select("total_c", "v"),
+            scal_p.select("total_t"),
             frozen=False,
         ),
     )
@@ -150,13 +173,24 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         d1 = gated.withColumn("h", F.xxhash64("text")).join(
             s.read.parquet(exact_idx), "h", "left_anti"
         )
-        d_surv1 = d1.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        d_exact = d1.join(d_surv1.select("doc_id"), "doc_id")
+        d_exact = (
+            d1.withColumn(
+                "_m", F.min("doc_id").over(Window.partitionBy("h"))
+            )
+            .where(F.col("doc_id") == F.col("_m"))
+            .drop("_m")
+        )
         d2 = d_exact.withColumn("p", prefix).join(
             s.read.parquet(prefix_idx), "p", "left_anti"
         )
-        d_surv2 = d2.groupBy("p").agg(F.min("doc_id").alias("doc_id"))
-        d_corpus = d2.join(d_surv2.select("doc_id"), "doc_id").localCheckpoint()
+        d_corpus = (
+            d2.withColumn(
+                "_m", F.min("doc_id").over(Window.partitionBy("p"))
+            )
+            .where(F.col("doc_id") == F.col("_m"))
+            .drop("_m")
+            .localCheckpoint()
+        )
         d_tok = d_corpus.select("doc_id", F.explode("toks").alias("w"))
         mscal = s.read.parquet(model_scal)
         d_manifest = group_manifest(
@@ -186,7 +220,9 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if mid_val is not None:
         mid = int(mid_val)
         delta_raw.where(F.col("doc_id") <= mid).write.parquet(in_dir)
-        schema = spark.read.parquet(in_dir).schema
+        # the stream reads files written FROM delta_raw, so its schema
+        # is delta_raw's by construction — no extra listing job
+        schema = delta_raw.schema
 
         def run_pass() -> None:
             q = (
