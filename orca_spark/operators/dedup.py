@@ -511,29 +511,53 @@ def connected_components(
     global ``sum(label)`` is a fixpoint witness — unchanged sum means
     unchanged labels, with no old-vs-new join.
     """
-    # The loop runs MANY small shuffles eagerly; under a session left at
-    # the default 200 shuffle partitions each round schedules ~600 tiny
-    # tasks and fixed overhead dominates (measured 4× slower on the
-    # driver's plain session). Pin the loop's shuffle width to the
-    # executor count and restore afterwards — the returned labels are
-    # checkpointed, so downstream plans are unaffected.
+    # Propagation only ever changes the label of a node that some edge
+    # touches: a node absent from every edge keeps label == doc_id by
+    # definition of min-label (its component is itself). Split the node
+    # set ONCE and run the loop over edge-touched nodes only — on a
+    # near-dup graph the touched set is the duplicate subgraph, usually
+    # orders of magnitude smaller than the corpus, so every round's
+    # shuffles carry the subgraph, not the node universe. Untouched
+    # singletons are unioned back at the end, label = own id.
     spark = nodes.sparkSession
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
     try:
+        endpoints = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .union(edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        touched = nodes.join(endpoints, "doc_id", "left_semi")
+        untouched = nodes.join(endpoints, "doc_id", "left_anti")
         # localCheckpoint (not persist): truncates the lineage each round
         # so the k-th iteration plans a constant-size query, not a k-join
         # one — without it, driver-side re-planning dominates.
         sym = (
             edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
             .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-            .union(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+            .union(touched.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+        # The loop runs MANY small shuffles eagerly; under a session left
+        # at the default 200 shuffle partitions each round schedules ~600
+        # tiny tasks and fixed overhead dominates (measured 4× slower on
+        # the driver's plain session). Derive the loop's width from the
+        # materialized edge count (~50k rows/task) capped at the executor
+        # count — scale-adaptive, not a local-mode constant: a 100 TB
+        # subgraph still gets full parallelism, a small one stops paying
+        # 32 near-empty tasks per round — and restore afterwards; the
+        # returned labels are checkpointed, so downstream plans are
+        # unaffected.
+        width = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                (sym.count() + 49_999) // 50_000,
+            ),
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        labels = touched.select("doc_id", F.col("doc_id").alias("label"))
         prev_sum = None
         for _ in range(max_iter):
             # min over neighbors ∪ self (self-loops make the groupBy total)
@@ -568,7 +592,9 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter"
         )
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).union(
+        untouched.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
 
 
 @register(
