@@ -214,7 +214,12 @@ def banded_buckets(sig: DataFrame) -> DataFrame:
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket."""
-    banded = banded_buckets(sig)
+    # materialize the banded index before the self-join: referenced
+    # twice below, Spark otherwise computes the 64-permutation
+    # signature aggregation once per side — and plans the smaller side
+    # as a broadcast build whose single-threaded job re-runs the whole
+    # signature pipeline. 24 bytes x 16 bands per doc, linear.
+    banded = banded_buckets(sig).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -648,12 +653,19 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this shrinks the pair problem by the square of the duplication
     # factor, and at 100 TB it is the standard first move of any dedup
     # pipeline.
-    sets = d.select(
-        "doc_id",
-        F.sort_array(
-            F.array_distinct(F.transform(F.split("text", " "), lambda t: F.xxhash64(t)))
-        ).alias("ts"),
-    ).withColumn("set_key", F.xxhash64("ts"))
+    # one tokenize+hash+sort pass: sets feeds the identity-group agg AND
+    # the member fan-out at the end — left lazy it re-tokenized the
+    # corpus once per consumer
+    sets = (
+        d.select(
+            "doc_id",
+            F.sort_array(
+                F.array_distinct(F.transform(F.split("text", " "), lambda t: F.xxhash64(t)))
+            ).alias("ts"),
+        )
+        .withColumn("set_key", F.xxhash64("ts"))
+        .localCheckpoint(eager=True)
+    )
     reps = (
         sets.groupBy("set_key")
         .agg(F.min("doc_id").alias("doc_id"), F.min_by("ts", "doc_id").alias("ts"))

@@ -73,11 +73,19 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = _MAX_HAMMING) -> DataFrame:
             for c in range(_N_CHUNKS)
         ]
     )
-    banded = sig.select("doc_id", "simhash", F.explode(chunks).alias("cb")).select(
-        "doc_id",
-        "simhash",
-        F.col("cb.chunk").alias("chunk"),
-        F.col("cb.bucket").alias("bucket"),
+    # materialize before the self-join: referenced twice below, Spark
+    # otherwise evaluates the 64-vote signature aggregation once per
+    # side — and plans the smaller side as a broadcast build whose
+    # single-threaded job re-runs the whole signature pipeline
+    banded = (
+        sig.select("doc_id", "simhash", F.explode(chunks).alias("cb"))
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("cb.chunk").alias("chunk"),
+            F.col("cb.bucket").alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
     )
     cand = (
         banded.alias("l")
