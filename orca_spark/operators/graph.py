@@ -169,38 +169,57 @@ def label_propagation(
         .localCheckpoint(eager=True)  # reused every round
     )
 
-    for _ in range(rounds):
-        votes = (
-            edges.join(
-                labels.where(F.col("label").isNotNull()).select(
-                    F.col("doc_id").alias("src"), "label"
-                ),
-                "src",
+    # the fixed rounds run many small shuffles eagerly — derive their
+    # width from the materialized edge count (~50k rows/task, capped at
+    # the executor count; the connected_components convention) instead
+    # of paying near-empty tasks per round, and restore afterwards
+    spark = docs.sparkSession
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (edges.count() + 49_999) // 50_000,
+        ),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        for _ in range(rounds):
+            votes = (
+                edges.join(
+                    labels.where(F.col("label").isNotNull()).select(
+                        F.col("doc_id").alias("src"), "label"
+                    ),
+                    "src",
+                )
+                .groupBy("dst", "label")
+                .agg(F.count(F.lit(1)).alias("n"))
             )
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        best = (
-            votes.withColumn(
-                "rk",
-                F.row_number().over(
-                    W.partitionBy("dst").orderBy(F.col("n").desc(), F.col("label"))
-                ),
+            best = (
+                votes.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        W.partitionBy("dst").orderBy(
+                            F.col("n").desc(), F.col("label")
+                        )
+                    ),
+                )
+                .where(F.col("rk") == 1)
+                .select(F.col("dst").alias("doc_id"), F.col("label").alias("vote"))
             )
-            .where(F.col("rk") == 1)
-            .select(F.col("dst").alias("doc_id"), F.col("label").alias("vote"))
-        )
-        labels = (
-            labels.join(best, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.when(F.col("is_seed"), F.col("label"))
-                .otherwise(F.coalesce(F.col("vote"), F.col("label")))
-                .alias("label"),
-                "is_seed",
+            labels = (
+                labels.join(best, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.when(F.col("is_seed"), F.col("label"))
+                    .otherwise(F.coalesce(F.col("vote"), F.col("label")))
+                    .alias("label"),
+                    "is_seed",
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     return labels.select("doc_id", "label", "is_seed")
 
 

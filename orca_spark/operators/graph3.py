@@ -95,14 +95,21 @@ def _contracted(spark: SparkSession, sf_dir: str):
     docs = load(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
-    sets = docs.select(
-        "doc_id",
-        F.sort_array(
-            F.array_distinct(
-                F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
-            )
-        ).alias("ts"),
-    ).withColumn("set_key", F.xxhash64("ts"))
+    # one tokenize+hash+sort pass: sets feeds BOTH the group agg and the
+    # final per-doc lift (doc_sets); left lazy it re-tokenized the whole
+    # corpus once per consumer
+    sets = (
+        docs.select(
+            "doc_id",
+            F.sort_array(
+                F.array_distinct(
+                    F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
+                )
+            ).alias("ts"),
+        )
+        .withColumn("set_key", F.xxhash64("ts"))
+        .localCheckpoint(eager=True)
+    )
     groups = (
         sets.groupBy("set_key")
         .agg(
