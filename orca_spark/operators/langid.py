@@ -63,7 +63,22 @@ def langid_trigram_df(docs: DataFrame, n: int = _PROFILE_N) -> DataFrame:
     text are still classified (their ``correct`` is NULL)."""
     tri = _trigrams(docs)
 
-    lang_counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
+    # ONE pass over the exploded trigrams: the per-doc counts are the
+    # finest grain, and both the language profiles (sum of per-doc
+    # counts) and the candidate list derive from them — left as three
+    # independent consumers of `tri`, each re-ran the ~len(text)-per-doc
+    # explode+substring fan-out from the scan. Materialized via
+    # localCheckpoint: corpus-linear skinny rows, recomputed per
+    # invocation.
+    doc_counts = (
+        tri.groupBy("doc_id", "lang", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+    lang_counts = doc_counts.groupBy("lang", "tri").agg(
+        F.sum("c").alias("c")
+    )
     lw = W.partitionBy("lang").orderBy(F.col("c").desc(), "tri")
     lang_prof = (
         lang_counts.withColumn("lrank", F.row_number().over(lw))
@@ -71,9 +86,6 @@ def langid_trigram_df(docs: DataFrame, n: int = _PROFILE_N) -> DataFrame:
         .select(F.col("lang").alias("cand_lang"), "tri", "lrank")
     )
 
-    doc_counts = tri.groupBy("doc_id", "lang", "tri").agg(
-        F.count(F.lit(1)).alias("c")
-    )
     dw = W.partitionBy("doc_id").orderBy(F.col("c").desc(), "tri")
     doc_prof = (
         doc_counts.withColumn("drank", F.row_number().over(dw))
@@ -81,11 +93,11 @@ def langid_trigram_df(docs: DataFrame, n: int = _PROFILE_N) -> DataFrame:
         .select("doc_id", "lang", "tri", "drank")
     )
 
-    # candidates from the trigram frame itself (one source of truth
+    # candidates from the same aggregated frame (one source of truth
     # with the profile training filter — a re-stated doc filter here
     # could silently drift from _trigrams' eligibility rule)
     langs = (
-        tri.where(F.col("lang").isNotNull())
+        doc_counts.where(F.col("lang").isNotNull())
         .select(F.col("lang").alias("cand_lang"))
         .distinct()
     )
