@@ -516,31 +516,29 @@ def connected_components(
     global ``sum(label)`` is a fixpoint witness — unchanged sum means
     unchanged labels, with no old-vs-new join.
     """
-    # Propagation only ever changes the label of a node that some edge
-    # touches: a node absent from every edge keeps label == doc_id by
-    # definition of min-label (its component is itself). Split the node
-    # set ONCE and run the loop over edge-touched nodes only — on a
-    # near-dup graph the touched set is the duplicate subgraph, usually
-    # orders of magnitude smaller than the corpus, so every round's
-    # shuffles carry the subgraph, not the node universe. Untouched
-    # singletons are unioned back at the end, label = own id.
+    # NOTE (r12, measured): an edge-touched/untouched node split — loop
+    # over the duplicate subgraph only, union untouched singletons back
+    # with label = own id — was built and then REVERTED on evidence: at
+    # sf0.1 the near-dup graph touches most representatives, so the
+    # split bought nothing while its endpoint distinct, semi/anti node
+    # joins and final union added ~1.5 s fixed cost per invocation
+    # (interleaved A/B: split 9.5 s vs no-split 5.3 s median). The
+    # subgraph the loop shuffles is already the post-contraction
+    # representative set, which IS the scale-reduced frame.
     spark = nodes.sparkSession
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        endpoints = (
-            edges.select(F.col("doc_a").alias("doc_id"))
-            .union(edges.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        touched = nodes.join(endpoints, "doc_id", "left_semi")
-        untouched = nodes.join(endpoints, "doc_id", "left_anti")
+        # edges is referenced twice by the symmetrization union —
+        # materialize the caller's pair generation once, lazily (the
+        # sym checkpoint below is the single action that computes it)
+        edges = edges.localCheckpoint(eager=False)
         # localCheckpoint (not persist): truncates the lineage each round
         # so the k-th iteration plans a constant-size query, not a k-join
         # one — without it, driver-side re-planning dominates.
         sym = (
             edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
             .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-            .union(touched.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+            .union(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -562,7 +560,7 @@ def connected_components(
             ),
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
-        labels = touched.select("doc_id", F.col("doc_id").alias("label"))
+        labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
         prev_sum = None
         for _ in range(max_iter):
             # min over neighbors ∪ self (self-loops make the groupBy total)
@@ -597,9 +595,7 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter"
         )
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).union(
-        untouched.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
 @register(
