@@ -11,9 +11,10 @@ the way a 100 TB corpus forces it to be:
    frequency (JVM-side `transform`/`explode`, map-side partial agg),
    pick the argmax pair — a ONE-ROW driver collect, the iterative
    scalar every trainer needs — and rewrite the symbol arrays with a
-   left-to-right non-overlapping merge (an Arrow-batched pandas UDF:
+   left-to-right non-overlapping merge (a JVM-side ``aggregate`` fold:
    the rewrite is inherently sequential WITHIN a word, embarrassingly
-   parallel ACROSS the vocabulary).
+   parallel ACROSS the vocabulary, and never crosses the Python
+   boundary).
 
 ``text_bpe_train_merges`` returns the learned merge table
 (rank, left, right, pair_count) — the artifact a tokenizer ships.
@@ -26,8 +27,6 @@ counts with a fixed regex; this module actually trains the merges.
 """
 
 from __future__ import annotations
-
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,19 +115,6 @@ def _bpe_oracle_sql(n_merges: int = _N_MERGES) -> str:
     )
 
 
-def _merge_word(syms: list, left: str, right: str, joined: str) -> list:
-    """Left-to-right non-overlapping merge of (left, right) -> joined."""
-    out, i, n = [], 0, len(syms)
-    while i < n:
-        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-            out.append(joined)
-            i += 2
-        else:
-            out.append(syms[i])
-            i += 1
-    return out
-
-
 def bpe_train(words: DataFrame, n_merges: int = _N_MERGES) -> list[tuple]:
     """Learn ``n_merges`` BPE merges from a (word, freq) vocabulary.
 
@@ -170,12 +156,35 @@ def bpe_train(words: DataFrame, n_merges: int = _N_MERGES) -> list[tuple]:
 
         joined = left + right
 
-        @F.pandas_udf("array<string>")
-        def apply_merge(col: pd.Series) -> pd.Series:
-            return col.map(lambda s: _merge_word(list(s), left, right, joined))
+        # Left-to-right non-overlapping merge as a JVM-side fold
+        # (guide §4: the per-step ArrowEvalPython batch was the only
+        # Python-boundary crossing in the trainer). The fold appends
+        # each symbol unless the accumulator ends in `left` and the
+        # current symbol is `right`, in which case the tail is replaced
+        # by `joined`. This matches the textbook i += 2 scan: a merged
+        # tail can never re-merge as `left` because joined = left+right
+        # is strictly longer than `left`, so greedy re-examination of
+        # the fused token is impossible — the pure-Python replay test
+        # (tests/test_text9_graph.py) pins the equivalence.
+        def _step(acc, s):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right))
+            )
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(joined)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
 
         vocab = vocab.select(
-            apply_merge("syms").alias("syms"), "freq"
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), _step
+            ).alias("syms"),
+            "freq",
         ).localCheckpoint(eager=True)
     return merges
 
@@ -186,7 +195,7 @@ def bpe_train(words: DataFrame, n_merges: int = _N_MERGES) -> list[tuple]:
     description=f"distributed BPE tokenizer training ({_N_MERGES} merges): "
     "one corpus pass builds the (word, freq) vocabulary, then each step "
     "counts adjacent symbol pairs JVM-side, collects the single argmax "
-    "row, and rewrites symbol arrays with an Arrow-batched left-to-right "
+    "row, and rewrites symbol arrays with a JVM-side left-to-right fold "
     "merge; the merge sequence is deterministic (integer counts, total "
     "tie-break), so it is hash-checked against a DuckDB oracle that "
     "unrolls the loop as chained CTEs, plus a pure-Python reference "
