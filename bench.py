@@ -28,18 +28,21 @@ from orca_spark.queries import queries  # noqa: E402
 from orca_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
-    # r12: q6_forecast_revenue and dedup_exact RETIRED from the line
-    # (flat 0.13-0.29 s for all nine recorded rounds; q6 is bounded by
-    # the three heavier TPC-H entries, dedup_exact by every other dedup
-    # entry, and both stay driver-oracled at sf0.01 every round) — the
-    # freed bytes carry the serial+parallel host calibrations on the
-    # driver stdout line, which is what made the r11 riser verdict
-    # undecidable when BENCH_DETAIL.json got overwritten.
+    # r12 optimization phase: the three entries the mid-build commits
+    # retired under the build-round swap-not-grow convention
+    # (q6_forecast_revenue, dedup_exact, orders_temporal_state_join)
+    # are REINSTATED — the optimization contract is add-only, never
+    # remove, relative to the driver's last record (BENCH_r11). The
+    # line-budget pressure that motivated the swaps is handled by
+    # final_line()'s degrade path (coarser rounding before any drop),
+    # so the calibrations still ride the driver stdout line.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "window_topk_orders",
     "events_sessionize",
+    "dedup_exact",
     "dedup_minhash",
     "similarity_brute_topk",
     "orc_roundtrip_agg",
@@ -70,17 +73,15 @@ HEADLINE = [
     # the as-of-backed temporal SCD2 state join
     "dedup_edit_distance",
     "text_langid_trigram",
-    # r12: orders_temporal_state_join retired (flat 0.5-0.8 s for six
-    # rounds; its as-of state-join shape stays timed via
-    # asof_join_latest_order and driver-oracled every round) — the slot
-    # goes to pipeline_multimodal_curation below, the round's
-    # composition flagship. The other three r12 registrations stay
-    # lane-covered without timings: dedup_span_exactsubstr_hashed is
-    # the same plan family as dedup_span_scrub_hashed (timed);
-    # similarity_sq8_incremental is bounded by similarity_brute_topk
-    # (timed) on 4x-narrower data; pipeline_decontaminate_scrub
-    # composes two timed stages (dedup_bloom_decontaminate +
-    # dedup_span_scrub_hashed).
+    "orders_temporal_state_join",
+    # The other three r12 registrations stay lane-covered without
+    # timings: dedup_span_exactsubstr_hashed is the same plan family as
+    # dedup_span_scrub_hashed (timed); similarity_sq8_incremental is
+    # bounded by similarity_brute_topk (timed) on 4x-narrower data;
+    # pipeline_decontaminate_scrub composes two timed stages
+    # (dedup_bloom_decontaminate + dedup_span_scrub_hashed).
+    # pipeline_multimodal_curation (added below) is the r12 build
+    # phase's one ADDED entry, the round's composition flagship.
     # round-5 batch-3: tokenizer training (iterative argmax + Arrow
     # rewrite on the vocab table), the bigram-LM quality scorer, label
     # spread over the near-dup graph, and the banded EWMA smoother
@@ -153,10 +154,9 @@ HEADLINE = [
     "multimodal_phash_ppm_roundtrip",
     "streaming_curation_manifest",
     "dedup_span_scrub_hashed",
-    # r12 (swapped in, see the orders_temporal_state_join note above):
-    # the end-to-end multimodal corpus build — gate -> exact dedup ->
-    # production phash chain -> banded near-dup drop -> manifest,
-    # composition cost tracked like its pipeline siblings
+    # r12 (added): the end-to-end multimodal corpus build — gate ->
+    # exact dedup -> production phash chain -> banded near-dup drop ->
+    # manifest, composition cost tracked like its pipeline siblings
     "pipeline_multimodal_curation",
 ]
 
@@ -209,6 +209,32 @@ def compact_line(
     if cal:
         rec["cal"] = cal
     return json.dumps(rec, separators=(",", ":"))
+
+
+def final_line(
+    total: float,
+    timings: dict[str, float],
+    sf: float,
+    cal: dict[str, float] | None = None,
+) -> tuple[str, list[str]]:
+    """compact_line plus the degrade path, guaranteeing the result fits
+    _LINE_BUDGET: first coarser per-query rounding (3 -> 2 decimals),
+    then — only if a pathological line still overflows — drop the
+    slowest entries from the breakdown (they remain in
+    BENCH_DETAIL.json; ``total`` still sums every query). Returns the
+    line and the list of dropped names. Contract-tested directly so
+    HEADLINE growth can never reintroduce the r05 truncation."""
+    line = compact_line(total, timings, sf, cal)
+    dropped: list[str] = []
+    if len(line) > _LINE_BUDGET:
+        timings = {n: round(v, 2) for n, v in timings.items()}
+        line = compact_line(total, timings, sf, cal)
+        while len(line) > _LINE_BUDGET and timings:
+            victim = max(timings, key=timings.get)
+            dropped.append(victim)
+            timings.pop(victim)
+            line = compact_line(total, timings, sf, cal)
+    return line, dropped
 
 
 def main() -> None:
@@ -414,26 +440,11 @@ def main() -> None:
     sys.stderr.flush()
 
     cal_rec = {"serial": host_calibration, "parallel": host_calibration_parallel}
-    line = compact_line(total, timings, sf, cal_rec)
-    if len(line) > _LINE_BUDGET:
-        # last-resort degrade: coarser rounding, then drop the slowest
-        # query entries before ever exceeding the capture window; the
-        # dropped names go to stderr (and were already recorded in full
-        # in BENCH_DETAIL.json above) so the truncation stays visible —
-        # `total` still sums EVERY query, only the per-query breakdown
-        # is truncated.
-        timings = {n: round(v, 2) for n, v in timings.items()}
-        line = compact_line(total, timings, sf, cal_rec)
-        dropped = []
-        while len(line) > _LINE_BUDGET and timings:
-            victim = max(timings, key=timings.get)
-            dropped.append(victim)
-            timings.pop(victim)
-            line = compact_line(total, timings, sf, cal_rec)
-        if dropped:
-            print(json.dumps({"bench_line_dropped_queries": dropped}),
-                  file=sys.stderr)
-            sys.stderr.flush()
+    line, dropped = final_line(total, timings, sf, cal_rec)
+    if dropped:
+        print(json.dumps({"bench_line_dropped_queries": dropped}),
+              file=sys.stderr)
+        sys.stderr.flush()
     print(line)
     sys.stdout.flush()
 
