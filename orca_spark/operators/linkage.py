@@ -50,13 +50,23 @@ def edit_distance_pairs(docs: DataFrame, max_edits: int = _MAX_EDITS) -> DataFra
     # Build side: each doc probes its own bucket and both neighbors, so
     # any pair within T length-delta meets in exactly ONE (lang, bucket)
     # block: the probe side's own bucket.
+    # The banded-DP verify is QUADRATIC per block, so parallelism must
+    # be sized to cores, not to probe-side row count: a corpus small
+    # enough to arrive as one scan split (and a build side small enough
+    # to broadcast) otherwise runs the entire verify in a single task —
+    # measured 4.05 s in ONE task of one job at sf0.1 while 31 cores
+    # idled. Hash-repartitioning the probe by the block key is the same
+    # exchange a sort-merge plan needs at cluster scale anyway (where
+    # neither side fits a broadcast), so the shape is scale-invariant;
+    # blocks are length-histogram-shaped (134 blocks, max/median ≈ 2 at
+    # sf0.1), so key-hash spread is adequate without salting.
     probe = base.select(
         F.col("doc_id").alias("doc_b"),
         F.col("text").alias("text_b"),
         F.col("n_chars").alias("len_b"),
         "lang",
         F.floor(F.col("n_chars") / t).alias("bucket"),
-    )
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, "lang", "bucket")
     build = base.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("text_a"),
