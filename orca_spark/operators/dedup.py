@@ -747,7 +747,13 @@ def _rep_pairs_adaptive(reps: DataFrame, threshold: float) -> DataFrame:
             )
             for c in range(n_chunks)
         ]
-        masked = reps.select(
+        # reps arrives as the callers' checkpointed frame, which AQE has
+        # coalesced to ONE partition at test scale (tiny bytes, dense
+        # compute) — an explicit width keeps the per-row map-lookup fold
+        # and the chunk fan-out parallel; AQE never coalesces a
+        # user-specified repartition. ~8-byte rows, the shuffle is noise.
+        par = reps.sparkSession.sparkContext.defaultParallelism
+        masked = reps.repartition(par).select(
             "doc_id",
             F.aggregate(
                 F.transform("ts", lambda h: F.element_at(mask_map, h)),
@@ -755,21 +761,30 @@ def _rep_pairs_adaptive(reps: DataFrame, threshold: float) -> DataFrame:
                 lambda acc, x: acc.bitwiseOR(x),
             ).alias("mask"),
         )
-        keyed = masked.select(
-            "doc_id",
-            "mask",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("c"),
-                            F.col("mask").bitwiseAND(F.lit(cm)).alias("k"),
-                        )
-                        for c, cm in enumerate(chunk_masks)
-                    ]
-                )
-            ).alias("ck"),
-        ).select("doc_id", "mask", "ck.c", "ck.k")
+        # materialize the chunk index before the self-join (the
+        # lsh_candidate_pairs convention): referenced twice below, Spark
+        # otherwise re-runs the whole masked-fold chain as a
+        # single-threaded broadcast build — measured 1.06 s in one task
+        # at sf0.1. 20 bytes x n_chunks per rep, linear.
+        keyed = (
+            masked.select(
+                "doc_id",
+                "mask",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("c"),
+                                F.col("mask").bitwiseAND(F.lit(cm)).alias("k"),
+                            )
+                            for c, cm in enumerate(chunk_masks)
+                        ]
+                    )
+                ).alias("ck"),
+            )
+            .select("doc_id", "mask", "ck.c", "ck.k")
+            .localCheckpoint(eager=False)
+        )
         cand = (
             keyed.alias("a")
             .join(
@@ -795,8 +810,11 @@ def _rep_pairs_adaptive(reps: DataFrame, threshold: float) -> DataFrame:
         ).select("doc_a", "doc_b")
     # open-vocabulary fallback: MinHash+LSH candidates (n=1 shingles ==
     # the token-hash sets), exact array_intersect verification — the
-    # generic O(candidates) path
-    sh = reps.select("doc_id", F.explode("ts").alias("sh"))
+    # generic O(candidates) path. Same explicit width as the bitmask
+    # branch: the 64-permutation partial aggregation is the dense
+    # compute and it runs at reps' (AQE-coalesced) partitioning.
+    par = reps.sparkSession.sparkContext.defaultParallelism
+    sh = reps.repartition(par).select("doc_id", F.explode("ts").alias("sh"))
     cand = lsh_candidate_pairs(_signatures_from_shingles(sh))
     la = reps.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     lb = reps.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
