@@ -37,8 +37,16 @@ def _trigrams(docs: DataFrame) -> DataFrame:
     The explode fans out ~len(text) rows per doc and is aggregated
     immediately by every consumer; docs too short for a trigram are
     excluded by contract (nothing to classify on)."""
+    # the documents parquet arrives as ONE split at test scale and the
+    # ~len(text)x explode+substring fan-out is the dense per-row compute
+    # feeding the (doc_id, lang, tri) partial aggregation — run it wide
+    # (measured 2.05 s in ONE task of the checkpoint job at sf0.1 while
+    # 31 cores idled); widen() is a no-op once the scan has >= core
+    # splits, so the shape is scale-invariant
+    from orca_spark.tables import widen
+
     return (
-        docs.where(F.col("text").isNotNull() & (F.length("text") >= 3))
+        widen(docs.where(F.col("text").isNotNull() & (F.length("text") >= 3)))
         .select("doc_id", "lang", F.lower("text").alias("t"))
         .select(
             "doc_id",

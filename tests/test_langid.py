@@ -76,3 +76,27 @@ def test_accuracy_summary_on_testdata(spark):
     ).collect()[0]
     assert stats.acc >= 0.25, stats.acc  # > 1/5 chance on 5 labels
     assert stats.n_pred > 1
+
+
+def test_trigram_fanout_runs_wide_not_at_scan_width(spark):
+    """The explode+substring fan-out is the dense per-row compute; at
+    test scale the documents parquet arrives as ONE split, so without
+    an explicit widen the whole per-doc count aggregation ran in a
+    single task (measured 2.05 s of a 3.7 s query at sf0.1). The
+    round-robin exchange widen() inserts must sit below the trigram
+    Generate. Asserted on the pre-checkpoint subplan: the registered
+    query checkpoints the per-doc counts, which hides the fan-out
+    lineage behind a Scan ExistingRDD in the top-level plan."""
+    import contextlib
+    import io
+
+    from orca_spark.operators.langid import _trigrams
+    from orca_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    df = _trigrams(load(spark, SF_DIR, "documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "roundrobinpartitioning" in plan.lower(), plan[:2000]
