@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from orca_spark.registry import REGISTRY, register
-from orca_spark.tables import load
+from orca_spark.tables import load, widen
 
 _SPAN_N = 8  # word-gram width (Lee et al. use 50 BPE tokens; 8 words ~ parity)
 _GATE_PCT = 0.8  # keep percent_rank >= 0.8: the top quintile per source
@@ -70,7 +70,12 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     every suffix-dedup pipeline makes). The gram stream is consumed
     twice (the count and the join-back) — at scale persist or
     checkpoint it between the two so documents scan once."""
-    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # the documents parquet arrives as ONE split at test scale and the
+    # tokenize + gram fan-out below is the dense per-row compute feeding
+    # the first aggregation — run it wide (measured 0.83 s in ONE task
+    # of the gram-checkpoint job at sf0.1 in the hashed form); widen()
+    # is a no-op once the scan has >= core splits
+    docs = widen(load(spark, sf_dir, "documents").where(F.col("text").isNotNull()))
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
@@ -223,7 +228,12 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``xxhash64(gram)`` (8-byte shuffle keys) and persist the gram
     stream between its two consumers, exactly as the sibling's note
     says. The 1e6 ppm is integer div — cross-engine exact."""
-    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # the documents parquet arrives as ONE split at test scale and the
+    # tokenize + gram fan-out below is the dense per-row compute feeding
+    # the first aggregation — run it wide (measured 0.83 s in ONE task
+    # of the gram-checkpoint job at sf0.1 in the hashed form); widen()
+    # is a no-op once the scan has >= core splits
+    docs = widen(load(spark, sf_dir, "documents").where(F.col("text").isNotNull()))
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks"),
@@ -321,6 +331,13 @@ def dedup_span_scrub_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     positioned (doc_id, i, gram_h) stream is localCheckpoint-persisted
     and feeds both consumers without re-tokenizing. Asserted in
     tests/test_plans.py: no gram string in any hashpartitioning."""
+    # NOTE (r12, measured): unlike the string-keyed siblings above, do
+    # NOT widen() this scan. Here the gram stream is localCheckpoint'd,
+    # so the single-task fan-out is paid ONCE — and the A/B showed the
+    # added round-robin exchange plus the 32-partition checkpointed RDD
+    # feeding every downstream stage costs MORE than the one task saves
+    # at sf0.1 (median 2.11 -> 2.69 s widened). At cluster scale the
+    # scan has many splits and widen() would be a no-op anyway.
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id",

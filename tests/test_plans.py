@@ -893,3 +893,19 @@ def test_decontaminate_scrub_broadcasts_bench_hashes_grams(spark):
         # word char), so a hashed-key exchange passes on its own merits —
         # and a wide key riding alongside gram_h must still fail
         assert not re.search(r"\btext#|\bgram#|\btok#", e), e
+
+
+def test_span_string_fanouts_run_wide_hashed_form_does_not(spark):
+    """The un-checkpointed string-keyed span queries re-run the
+    tokenize + gram fan-out per consumer, so the single-split scan must
+    be widened (round-robin exchange below the Generate). The hashed
+    form checkpoints its gram stream — there the fan-out is paid once
+    and the A/B measured the extra exchange + wider checkpointed RDD as
+    a NET LOSS at sf0.1 (2.11 -> 2.69 s), so it must stay unwidened
+    (the function's NOTE records the measurement)."""
+    for name in ["dedup_span_coverage", "dedup_span_scrub"]:
+        assert "roundrobinpartitioning" in plan_str(spark, name).lower(), name
+    assert (
+        "roundrobinpartitioning"
+        not in plan_str(spark, "dedup_span_scrub_hashed").lower()
+    )
