@@ -36,8 +36,20 @@ from orca_spark.tables import load
 
 _MAX_EDITS = 20  # verify threshold T: at most T character edits apart
 
+# Hot-block cap (guide §2.3): a (lang, bucket) block above this row
+# count is split across ceil(n/cap) salt slices so its O(n²) verify
+# cannot serialize on one task at 100 TB. 4096 rows ≈ 8M banded-DP
+# pairs per task — a large but bounded task quantum; every block at
+# the test SFs sits far under it (max ≈ 200 rows at sf0.1), so the
+# salt machinery is inert locally (nsalt = 1) and pair-set invariance
+# under nsalt > 1 is pinned by a dedicated tiny-cap test
+# (tests/test_linkage.py).
+_BLOCK_CAP = 4096
 
-def edit_distance_pairs(docs: DataFrame, max_edits: int = _MAX_EDITS) -> DataFrame:
+
+def edit_distance_pairs(
+    docs: DataFrame, max_edits: int = _MAX_EDITS, block_cap: int = _BLOCK_CAP
+) -> DataFrame:
     """Near-dup pairs with ``levenshtein(text_a, text_b) <= max_edits``.
 
     ``docs`` needs (doc_id, text, lang, n_chars). Pairs are emitted once
@@ -57,30 +69,63 @@ def edit_distance_pairs(docs: DataFrame, max_edits: int = _MAX_EDITS) -> DataFra
     # measured 4.05 s in ONE task of one job at sf0.1 while 31 cores
     # idled. Hash-repartitioning the probe by the block key is the same
     # exchange a sort-merge plan needs at cluster scale anyway (where
-    # neither side fits a broadcast), so the shape is scale-invariant;
-    # blocks are length-histogram-shaped (134 blocks, max/median ≈ 2 at
-    # sf0.1), so key-hash spread is adequate without salting.
-    probe = base.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("text").alias("text_b"),
-        F.col("n_chars").alias("len_b"),
-        "lang",
-        F.floor(F.col("n_chars") / t).alias("bucket"),
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, "lang", "bucket")
-    build = base.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("text").alias("text_a"),
-        F.col("n_chars").alias("len_a"),
-        "lang",
-        F.explode(
-            F.array(
-                F.floor(F.col("n_chars") / t) - 1,
-                F.floor(F.col("n_chars") / t),
-                F.floor(F.col("n_chars") / t) + 1,
-            )
-        ).alias("bucket"),
+    # neither side fits a broadcast), so the shape is scale-invariant.
+    #
+    # Skew (guide §2.3, r12 verdict item 6): one hot (lang, bucket)
+    # length-bucket at corpus scale would still land a whole O(n²)
+    # block on one task. Blocks above ``block_cap`` rows are SALTED:
+    # each probe row picks a deterministic slice (pmod of its id hash),
+    # each build row is replicated to every slice of its bucket, and
+    # the join key grows the salt — every pair still meets exactly once
+    # (in the probe row's slice), so the pair set is unchanged while a
+    # hot block spreads over ceil(n/cap) tasks. The per-block salt
+    # factors ride in a broadcast relation derived from a metadata-only
+    # count (lang + n_chars, no text column touched).
+    bucket = F.floor(F.col("n_chars") / t)
+    salts = (
+        base.groupBy("lang", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > block_cap)
+        .select(
+            "lang",
+            "bucket",
+            F.ceil(F.col("_n") / block_cap).cast("int").alias("_nsalt"),
+        )
     )
-    cand = build.join(probe, ["lang", "bucket"]).where(
+    nsalt = F.coalesce(F.col("_nsalt"), F.lit(1))
+    probe = (
+        base.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("text").alias("text_b"),
+            F.col("n_chars").alias("len_b"),
+            "lang",
+            bucket.alias("bucket"),
+        )
+        .join(F.broadcast(salts), ["lang", "bucket"], "left")
+        .withColumn(
+            "salt", F.pmod(F.xxhash64("doc_b"), nsalt.cast("long")).cast("int")
+        )
+        .drop("_nsalt")
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            "lang",
+            "bucket",
+            "salt",
+        )
+    )
+    build = (
+        base.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("text").alias("text_a"),
+            F.col("n_chars").alias("len_a"),
+            "lang",
+            F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
+        )
+        .join(F.broadcast(salts), ["lang", "bucket"], "left")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), nsalt.cast("int") - 1)))
+        .drop("_nsalt")
+    )
+    cand = build.join(probe, ["lang", "bucket", "salt"]).where(
         (F.col("doc_a") < F.col("doc_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= t)
     )

@@ -32,18 +32,26 @@ from orca_spark.tables import load
 
 _MAX_DEPTH = 3
 
+# The recursion body references the edge CTE once per iteration, and
+# Spark 4's UnionLoop has no MATERIALIZED hint (the DuckDB oracle uses
+# one): with edges written inline, every loop step re-ran the FULL
+# events scan + lag window + distinct (plan operators 12-18 duplicated
+# under UnionLoopRef — plans/r13/sql_recursive_type_paths_before.txt),
+# ~4 window passes over the event stream for a 3-level expansion. The
+# edge list is model-sized (|event types|² at most), so it is
+# materialized ONCE via localCheckpoint and the recursion joins the
+# cached relation — guide §7.2 (duplicated subtrees) applied to the
+# loop body. BROADCAST hint: the checkpointed RDD carries no stats, so
+# the per-iteration join would otherwise plan sort-merge for a
+# model-sized build side.
 _SQL = f"""
-    WITH RECURSIVE edges AS (
-        SELECT DISTINCT prev_type AS src, event_type AS dst
-        FROM _rp_transitions
-        WHERE prev_type IS NOT NULL
-    ),
-    paths (src, dst, depth, path) AS (
-        SELECT src, dst, 1, concat(src, '>', dst) FROM edges
+    WITH RECURSIVE paths (src, dst, depth, path) AS (
+        SELECT src, dst, 1, concat(src, '>', dst) FROM _rp_edges
         UNION ALL
-        SELECT p.src, e.dst, p.depth + 1, concat(p.path, '>', e.dst)
+        SELECT /*+ BROADCAST(e) */
+               p.src, e.dst, p.depth + 1, concat(p.path, '>', e.dst)
         FROM paths p
-        JOIN edges e ON e.src = p.dst
+        JOIN _rp_edges e ON e.src = p.dst
         WHERE p.depth < {_MAX_DEPTH}
     )
     SELECT src, dst, CAST(depth AS BIGINT) AS depth, path
@@ -91,14 +99,19 @@ _SQL = f"""
 def sql_recursive_type_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     ev.createOrReplaceTempView("_rp_events")
-    spark.sql(
+    edges = spark.sql(
         """
-        SELECT user_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_type
-        FROM _rp_events
-        WHERE ts IS NOT NULL AND event_type IS NOT NULL
-          AND user_id IS NOT NULL
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM _rp_events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              AND user_id IS NOT NULL
+        )
+        WHERE prev_type IS NOT NULL
         """
-    ).createOrReplaceTempView("_rp_transitions")
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("_rp_edges")
     return spark.sql(_SQL)

@@ -286,16 +286,6 @@ def train_pq(
     return books
 
 
-def _sql_subdot(col: str, s: int, width: int, cw: list[float]) -> str:
-    """SQL text for ``col[s*width : (s+1)*width] · cw`` with direct
-    element indexing (no slice materialization)."""
-    return (
-        "("
-        + " + ".join(f"{col}[{s * width + j}]*{v!r}D" for j, v in enumerate(cw))
-        + ")"
-    )
-
-
 # literal-expression ceiling for the PQ encoder: past 16 codewords per
 # subspace (or a coarse quantizer past the literal k ceiling) the encode
 # expression / cluster-scalar maps grow with k·M·ncodes — switch to the
@@ -396,34 +386,60 @@ def pq_encode_literal(
     centroids: list[tuple[int, list[float]]],
     books: list[list[list[float]]],
 ) -> DataFrame:
-    """Literal-expression PQ encoder (small codebooks): per-subspace
-    argmin codeword of the coarse residual, WITHOUT materializing the
-    residual — ‖(e−c)_m − cw‖² argmin-reduces to
-    ‖cw‖² − 2·e_m·cw + 2·c_m·cw, where c_m·cw is a per-(cluster,
-    codeword) scalar folded into a tiny literal map. Pure codegen'd
-    math, shuffle-free; the whole expression is assembled as ONE SQL
-    string (see ``_sql_dot_lit``'s rationale — Column-object assembly
-    spent ~6 s per call in py4j round-trips)."""
+    """Literal-table PQ encoder (small codebooks): per-subspace argmin
+    codeword of the coarse residual, WITHOUT materializing the residual
+    — ‖(e−c)_m − cw‖² argmin-reduces to ‖cw‖² − 2·e_m·cw + 2·c_m·cw,
+    where c_m·cw is a per-(cluster, subspace, codeword) scalar.
+
+    The constants ride as THREE literal nested arrays/maps (codewords,
+    per-codeword ‖cw‖², per-cluster scalar tables) indexed by
+    higher-order functions, NOT as m×ncodes inlined expression subtrees:
+    the fully-unrolled form built an ~m·ncodes·(width+k)-node expression
+    tree that the optimizer re-walked on every plan construction —
+    profiled at ~1 s of driver time per bench run on
+    ``similarity_pq_topk`` (guide §7.3: very large plans spend their
+    time in the optimizer). ConstantFolding collapses each literal
+    array to a single Literal node, so the per-row tree is ~50 nodes
+    regardless of codebook size. Summation order inside the subspace
+    dot (left-to-right ``aggregate`` fold seeded with 0.0) and the
+    ((‖cw‖² − 2·subdot) + 2·ccw) association are IDENTICAL to the
+    unrolled form, so both emit bit-identical codes
+    (tests/test_similarity.py pins encoder equivalence)."""
+    m = len(books)
     width = len(books[0][0])
-    codes = []
-    for s, book in enumerate(books):
-        cands = []
-        for c, cw in enumerate(book):
-            # c_m·cw per cluster: {cluster_id -> scalar} literal map
-            pairs = ", ".join(
-                f"{cid}, "
+    ncodes = len(books[0])
+    cw_txt = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{v!r}D" for v in cw) + ")" for cw in book
+        ) + ")"
+        for book in books
+    ) + ")"
+    cw2_txt = "array(" + ", ".join(
+        "array(" + ", ".join(f"{sum(v * v for v in cw)!r}D" for cw in book) + ")"
+        for book in books
+    ) + ")"
+    # c_m·cw per cluster: {cluster_id -> [s][c] scalar table}
+    ccw_txt = "map(" + ", ".join(
+        f"{cid}, array(" + ", ".join(
+            "array(" + ", ".join(
                 f"{sum(a * b for a, b in zip(cvec[s * width:(s + 1) * width], cw))!r}D"
-                for cid, cvec in centroids
-            )
-            d = (
-                f"({sum(v * v for v in cw)!r}D - 2.0D*{_sql_subdot('e', s, width, cw)}"
-                f" + 2.0D*element_at(map({pairs}), cluster))"
-            )
-            cands.append(f"named_struct('d', {d}, 'code', {c})")
-        codes.append(
-            f"cast(element_at(array_sort(array({', '.join(cands)})), 1).code as tinyint)"
-        )
-    return assigned.withColumn("codes", F.expr(f"array({', '.join(codes)})"))
+                for cw in book
+            ) + ")"
+            for s, book in enumerate(books)
+        ) + ")"
+        for cid, cvec in centroids
+    ) + ")"
+    subdot = (
+        f"aggregate(sequence(0, {width - 1}), cast(0.0 as double), "
+        f"(acc, j) -> acc + e[s * {width} + j] * {cw_txt}[s][c][j])"
+    )
+    d = f"(({cw2_txt}[s][c] - 2.0D*{subdot}) + 2.0D*element_at({ccw_txt}, cluster)[s][c])"
+    expr = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"cast(element_at(array_sort(transform(sequence(0, {ncodes - 1}), c -> "
+        f"named_struct('d', {d}, 'code', c))), 1).code as tinyint))"
+    )
+    return assigned.withColumn("codes", F.expr(expr))
 
 
 def pq_topk_df(

@@ -68,7 +68,8 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
     exact_idx, prefix_idx = f"{base}/exact_idx", f"{base}/prefix_idx"
-    model_cc, model_ct = f"{base}/model_cc", f"{base}/model_ct"
+    # one combined (w, c_c, c_t) model artifact since r13 (was two files)
+    model_cc = f"{base}/model"
     model_scal = f"{base}/model_scal"
     manifests = f"{base}/manifests"
 
@@ -95,77 +96,103 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     thr = int(thr_val)
     h_kept = kept.where(F.col("doc_id") <= thr)
-    # survivor SELECTION is a window min over the dedup key (one
-    # shuffle; identical keep-min-doc_id semantics to the old
-    # groupBy+self-join form, which paid agg + join exchanges) — the
-    # same shape pipeline5's batch form uses; the PERSISTED indexes
-    # stay key-only distincts
-    prefix = F.xxhash64(F.concat_ws(" ", F.slice("toks", 1, _PREFIX_TOKS)))
-    w_hash = Window.partitionBy(F.xxhash64("text"))
-    # the six artifact writes below are separate ACTIONS — lazily
-    # checkpoint each survivor tier so the window shuffles run once and
-    # every later action reads the materialized blocks instead of
-    # re-deduping from the gate
-    h_exact = (
-        h_kept.withColumn("_m", F.min("doc_id").over(w_hash))
-        .where(F.col("doc_id") == F.col("_m"))
-        .drop("_m")
-        .localCheckpoint(eager=False)
-    )
-    w_pref = Window.partitionBy(prefix)
-    h_corpus = (
-        h_exact.withColumn("_m", F.min("doc_id").over(w_pref))
-        .where(F.col("doc_id") == F.col("_m"))
-        .drop("_m")
-        .localCheckpoint(eager=False)
-    )
-    h_surv1 = h_kept.select(F.xxhash64("text").alias("h")).distinct()
-    h_surv2 = h_exact.select(prefix.alias("p")).distinct()
-    h_tok = h_corpus.select("doc_id", "source", F.explode("toks").alias("w"))
-    cc = h_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_c"))
-    from orca_spark.operators.curation2 import _DSIR_TARGET
+    # the delta-split midpoint needs only the raw documents scan + thr —
+    # independent of every history artifact, so its job runs on a worker
+    # thread and overlaps the artifact builds (guide §2.6: overlap
+    # independent jobs; FIFO scheduling back-fills the tails)
+    from concurrent.futures import ThreadPoolExecutor
 
-    ct = (
-        h_tok.where(F.col("source") == _DSIR_TARGET)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_t"))
-    )
-    h_surv1.write.parquet(exact_idx)
-    h_surv2.write.parquet(prefix_idx)
-    cc.write.parquet(model_cc)
-    ct.write.parquet(model_ct)
-    # the history DSIR pass scores against the model READ BACK from its
-    # persisted parquet form — the same frozen-model artifacts every
-    # micro-batch uses (and one fewer recompute of the vocab aggs)
-    cc_p = spark.read.parquet(model_cc)
-    ct_p = spark.read.parquet(model_ct)
-    scal = cc_p.agg(
-        F.sum("c_c").alias("total_c"), F.count(F.lit(1)).alias("v")
-    ).crossJoin(ct_p.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("total_t")))
-    scal.write.parquet(model_scal)
-    scal_p = spark.read.parquet(model_scal)
-    h_manifest = group_manifest(
-        h_corpus,
-        dsir_scores(
-            h_tok,
-            cc_p,
-            ct_p,
-            scal_p.select("total_c", "v"),
-            scal_p.select("total_t"),
-            frozen=False,
-        ),
-    )
-    h_manifest.withColumn("n_docs_delta", F.lit(0).cast("long")).write.parquet(
-        manifests
-    )
+    docs = load(spark, sf_dir, "documents")
+    delta_raw = docs.where(F.col("doc_id") > thr)
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        mid_fut = pool.submit(
+            lambda: delta_raw.agg(
+                F.expr("min(doc_id) + (max(doc_id) - min(doc_id)) div 2")
+            ).collect()[0][0]
+        )
+        # survivor SELECTION is a window min over the dedup key (one
+        # shuffle; identical keep-min-doc_id semantics to the old
+        # groupBy+self-join form, which paid agg + join exchanges) — the
+        # same shape pipeline5's batch form uses. Each tier is
+        # EAGERLY materialized once, then every artifact is a projection
+        # of cached blocks, which collapses the r12 form's six write
+        # actions (each re-deduping from the gate) into: 2 tier
+        # checkpoints + 3 main-thread writes + 2 overlapped index writes.
+        prefix = F.xxhash64(F.concat_ws(" ", F.slice("toks", 1, _PREFIX_TOKS)))
+        w_hash = Window.partitionBy(F.xxhash64("text"))
+        h_exact = (
+            h_kept.withColumn("_m", F.min("doc_id").over(w_hash))
+            .where(F.col("doc_id") == F.col("_m"))
+            .drop("_m")
+            .localCheckpoint(eager=True)
+        )
+        # the exact-dedup tier keeps EXACTLY one survivor per distinct
+        # text hash, so the persisted exact index is a bare projection of
+        # the tier — set-identical to the old distinct-over-h_kept form
+        # with no aggregation exchange (same argument for the prefix
+        # index below: the prefix tier holds one row per distinct prefix)
+        f_exact_idx = pool.submit(
+            h_exact.select(F.xxhash64("text").alias("h")).write.parquet, exact_idx
+        )
+        w_pref = Window.partitionBy(prefix)
+        h_corpus = (
+            h_exact.withColumn("_m", F.min("doc_id").over(w_pref))
+            .where(F.col("doc_id") == F.col("_m"))
+            .drop("_m")
+            .localCheckpoint(eager=True)
+        )
+        f_prefix_idx = pool.submit(
+            h_corpus.select(prefix.alias("p")).write.parquet, prefix_idx
+        )
+        h_tok = h_corpus.select("doc_id", "source", F.explode("toks").alias("w"))
+        from orca_spark.operators.curation2 import _DSIR_TARGET
+
+        # corpus and target term counts in ONE aggregation pass + ONE
+        # parquet artifact (the r12 form scanned the token fan-out twice
+        # and wrote two files): rows with c_t = 0 are words absent from
+        # the target slice — the DSIR scorer left-joins ct and coalesces
+        # missing to 0, so a present-with-zero row scores identically,
+        # and sum(c_t)/count(*) reproduce the old scalars exactly
+        model = h_tok.groupBy("w").agg(
+            F.count(F.lit(1)).alias("c_c"),
+            F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("c_t"),
+        )
+        model.write.parquet(model_cc)
+        model_p = spark.read.parquet(model_cc)
+        cc_p = model_p.select("w", "c_c")
+        ct_p = model_p.select("w", "c_t")
+        scal = model_p.agg(
+            F.sum("c_c").alias("total_c"),
+            F.count(F.lit(1)).alias("v"),
+            F.coalesce(F.sum("c_t"), F.lit(0)).alias("total_t"),
+        )
+        scal.write.parquet(model_scal)
+        scal_p = spark.read.parquet(model_scal)
+        h_manifest = group_manifest(
+            h_corpus,
+            dsir_scores(
+                h_tok,
+                cc_p,
+                ct_p,
+                scal_p.select("total_c", "v"),
+                scal_p.select("total_t"),
+                frozen=False,
+            ),
+        )
+        h_manifest.withColumn("n_docs_delta", F.lit(0).cast("long")).write.parquet(
+            manifests
+        )
+        # the stream's first batch anti-joins the persisted indexes —
+        # barrier on the overlapped writes before any micro-batch runs
+        f_exact_idx.result()
+        f_prefix_idx.result()
+        mid_val = mid_fut.result()
+    finally:
+        pool.shutdown(wait=True)
 
     # ---- the continuous ingest: raw delta docs stream in, curation
     # runs per micro-batch against the persisted artifacts only.
-    docs = load(spark, sf_dir, "documents")
-    delta_raw = docs.where(F.col("doc_id") > thr)
-    mid_val = delta_raw.agg(
-        F.expr("min(doc_id) + (max(doc_id) - min(doc_id)) div 2")
-    ).collect()[0][0]
 
     def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -193,24 +220,36 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         d_tok = d_corpus.select("doc_id", F.explode("toks").alias("w"))
         mscal = s.read.parquet(model_scal)
+        mdl = s.read.parquet(model_cc)
         d_manifest = group_manifest(
             d_corpus,
             dsir_scores(
                 d_tok,
-                s.read.parquet(model_cc),
-                s.read.parquet(model_ct),
+                mdl.select("w", "c_c"),
+                mdl.select("w", "c_t"),
                 mscal.select("total_c", "v"),
                 mscal.select("total_t"),
                 frozen=True,
             ),
         )
-        d_manifest.withColumn(
-            "n_docs_delta", F.col("n_docs").cast("long")
-        ).write.mode("append").parquet(manifests)
-        # grow the persisted indexes by the batch's accepted keys so the
-        # NEXT batch's anti-joins see them (append-only, never rewritten)
-        d_corpus.select("h").write.mode("append").parquet(exact_idx)
-        d_corpus.select("p").write.mode("append").parquet(prefix_idx)
+        # the three batch artifacts are independent projections of the
+        # CHECKPOINTED d_corpus — overlap their write actions (§2.6);
+        # the next batch only starts after this callback returns, so the
+        # index appends are barriered before any reader
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as bpool:
+            fa = bpool.submit(
+                d_corpus.select("h").write.mode("append").parquet, exact_idx
+            )
+            fb = bpool.submit(
+                d_corpus.select("p").write.mode("append").parquet, prefix_idx
+            )
+            d_manifest.withColumn(
+                "n_docs_delta", F.col("n_docs").cast("long")
+            ).write.mode("append").parquet(manifests)
+            fa.result()
+            fb.result()
 
     # two availableNow passes over one checkpoint, split on doc_id so
     # lower ids arrive first (the min-doc_id survivor rule's streaming
