@@ -43,9 +43,13 @@ def _bpe_train_ctes(n_merges: int = _N_MERGES) -> str:
     vocabularies v1..v{n}. ``bpe2._bpe_apply_oracle_sql`` extends this
     prefix to apply the learned merges back to the corpus.
 
-    Per step: pair counts via lateral ``generate_series`` over symbol
-    positions, argmax via ORDER BY ... LIMIT 1, then the left-to-right
-    NON-OVERLAPPING rewrite. Greedy non-overlap is the only non-trivial
+    Per step: pair counts and position fan-outs via SELECT-clause
+    ``unnest`` over parallel equal-length lists (adjacent slices for
+    pairs; the LATERAL ``UNNEST(generate_series(...))`` form they
+    replace is quadratic per word in DuckDB 1.0 — ~7.5 s per lateral
+    on one 18k-char adversarial token vs 0.01 s for the select-clause
+    form, same rows), argmax via ORDER BY ... LIMIT 1, then the
+    left-to-right NON-OVERLAPPING rewrite. Greedy non-overlap is the only non-trivial
     part in set-oriented SQL: overlapping candidates exist only in runs
     where l = r, and there a position merges iff the run of candidate
     positions immediately before it has even length — computed with a
@@ -58,15 +62,23 @@ def _bpe_train_ctes(n_merges: int = _N_MERGES) -> str:
     for i in range(n_merges):
         steps.append(f"""
 p{i} AS (
-  SELECT syms[j] AS l, syms[j + 1] AS r, sum(freq) AS n
-  FROM v{i}, UNNEST(generate_series(1, len(syms) - 1)) AS gp{i}(j)
+  SELECT l, r, sum(freq) AS n
+  FROM (
+    SELECT freq, unnest(syms[1:-2]) AS l, unnest(syms[2:]) AS r FROM v{i}
+  )
   GROUP BY 1, 2
 ),
-t{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+t{i} AS MATERIALIZED (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
 u{i} AS (
-  SELECT word, freq, j, syms[j] AS sym, t.l AS ml, t.r AS mr,
-         coalesce(syms[j] = t.l AND syms[j + 1] = t.r, FALSE) AS cand
-  FROM v{i}, t{i} t, UNNEST(generate_series(1, len(syms))) AS gu{i}(j)
+  SELECT word, freq, j, sym, ml, mr,
+         coalesce(sym = ml AND nxt = mr, FALSE) AS cand
+  FROM (
+    SELECT word, freq, t.l AS ml, t.r AS mr,
+           unnest(generate_series(1, len(syms))) AS j,
+           unnest(syms) AS sym,
+           unnest(syms[2:] || [NULL]) AS nxt
+    FROM v{i}, t{i} t
+  )
 ),
 m{i} AS (
   SELECT *, j - 1 - coalesce(max(CASE WHEN NOT cand THEN j END)
@@ -81,19 +93,27 @@ c{i} AS (
                      FALSE) AS consumed
   FROM mm{i}
 ),
-v{i + 1} AS (
+v{i + 1} AS MATERIALIZED (
   SELECT word, max(freq) AS freq,
          list(CASE WHEN merged THEN ml || mr ELSE sym END ORDER BY j) AS syms
   FROM c{i} WHERE NOT consumed GROUP BY word
 )""")
     return (
+        # v{i} and t{i} are each referenced 2-3 times (pair counts, the
+        # rewrite, the final SELECT / the apply chain in bpe2). DuckDB
+        # inlines multi-referenced CTEs by default, so without
+        # MATERIALIZED every reference re-ran the whole chain below it —
+        # EXPONENTIAL in the merge count (measured ~9 min for the
+        # 6-step apply oracle on the adversarial corpus, linear
+        # ~seconds materialized; the minhash oracle pins the same
+        # DuckDB behavior). Same rows either way.
         """w AS (
   SELECT word, count(*) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS word
     FROM documents WHERE text IS NOT NULL
   ) WHERE word <> '' GROUP BY word
 ),
-v0 AS (SELECT word, string_split(word, '') AS syms, freq FROM w),"""
+v0 AS MATERIALIZED (SELECT word, string_split(word, '') AS syms, freq FROM w),"""
         + ",".join(steps)
     )
 
@@ -156,34 +176,48 @@ def bpe_train(words: DataFrame, n_merges: int = _N_MERGES) -> list[tuple]:
 
         joined = left + right
 
-        # Left-to-right non-overlapping merge as a JVM-side fold
-        # (guide §4: the per-step ArrowEvalPython batch was the only
-        # Python-boundary crossing in the trainer). The fold appends
-        # each symbol unless the accumulator ends in `left` and the
-        # current symbol is `right`, in which case the tail is replaced
-        # by `joined`. This matches the textbook i += 2 scan: a merged
-        # tail can never re-merge as `left` because joined = left+right
-        # is strictly longer than `left`, so greedy re-examination of
-        # the fused token is impossible — the pure-Python replay test
-        # (tests/test_text9_graph.py) pins the equivalence.
-        def _step(acc, s):
-            hit = (
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right))
-            )
-            return F.when(
-                hit,
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(joined)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s)))
-
+        # Left-to-right non-overlapping merge, LINEAR per word (r13; the
+        # r12 form was a JVM ``aggregate`` fold whose array-append
+        # accumulator copies O(|acc|) per element — O(n²) per word,
+        # measured ~60 s on a degenerate 18k-char single-token document
+        # while bench-scale words never noticed). Each symbol maps to
+        # one mask char ('L' = left, 'R' = right, '0' = other; when
+        # left == right the pattern is 'LL' and the 'R' branch is
+        # unreachable), and one scan-forward ``replace`` of the pattern
+        # with 'PS' IS the greedy non-overlapping pairing: 'LLLL' →
+        # 'PSPS' (runs pair leftmost-first, leftover trails), 'LRLRR' →
+        # 'PSPSR'. 'P' positions emit the merged symbol, 'S' positions
+        # are consumed, everything else passes through. Equivalence
+        # with the fold: a merge at i depends only on ORIGINAL
+        # adjacency (joined = left+right is strictly longer than left,
+        # so a fused token can never re-match as `left`), and within
+        # l == r runs both forms pair (0,1)(2,3)… — pinned by the
+        # pure-Python replay test (tests/test_text9_graph.py) and the
+        # unrolled-CTE oracle.
+        mask = F.transform(
+            "syms",
+            lambda s: F.when(s == F.lit(left), F.lit("L"))
+            .when(s == F.lit(right), F.lit("R"))
+            .otherwise(F.lit("0")),
+        )
+        pattern = "LR" if left != right else "LL"
+        marks = F.replace(
+            F.concat_ws("", mask), F.lit(pattern), F.lit("PS")
+        )
+        chars = F.slice(F.split(marks, ""), 1, F.size("syms"))
+        zipped = F.zip_with(
+            "syms", chars, lambda s, c: F.struct(s.alias("s"), c.alias("c"))
+        )
+        rewritten = F.transform(
+            F.filter(zipped, lambda z: z["c"] != F.lit("S")),
+            lambda z: F.when(z["c"] == F.lit("P"), F.lit(joined)).otherwise(
+                z["s"]
+            ),
+        )
         vocab = vocab.select(
-            F.aggregate(
-                "syms", F.array().cast("array<string>"), _step
-            ).alias("syms"),
+            F.when(F.size("syms") < 2, F.col("syms"))
+            .otherwise(rewritten)
+            .alias("syms"),
             "freq",
         ).localCheckpoint(eager=True)
     return merges

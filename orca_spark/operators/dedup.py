@@ -323,14 +323,26 @@ def _minhash_cte() -> str:
             WHERE text IS NOT NULL
         ),
         g0 AS (
-            SELECT doc_id, tk[i] AS t1, tk[i+1] AS t2, tk[i+2] AS t3
-            FROM tk0, UNNEST(generate_series(1, len(tk) - 2)) AS gg(i)
+            -- SELECT-clause unnest over parallel adjacent slices: the
+            -- LATERAL generate_series + tk[i] form is quadratic per row
+            -- in DuckDB 1.0 on long token lists (adversarial 5000-token
+            -- docs); same (t1, t2, t3) rows
+            SELECT doc_id, unnest(tk[1:-3]) AS t1, unnest(tk[2:-2]) AS t2,
+                   unnest(tk[3:]) AS t3
+            FROM tk0
             WHERE len(tk) >= 3
         ),
-        g1 AS (SELECT doc_id, t2, t3, {xxh64('t1', 42)} AS h1 FROM g0),
+        -- dedupe grams per doc BEFORE the 3-stage xxh64 chain: shn is
+        -- DISTINCT (doc_id, hash) and the hash is deterministic per
+        -- gram, so distinct-before == distinct-after while repetitive
+        -- docs (adversarial "tok "x5000: 4999 identical grams) hash
+        -- once instead of per occurrence
+        g0d AS (SELECT DISTINCT doc_id, t1, t2, t3 FROM g0),
+        g1 AS (SELECT doc_id, t2, t3, {xxh64('t1', 42)} AS h1 FROM g0d),
         g2 AS (SELECT doc_id, t3, {xxh64('t2', 'h1')} AS h2 FROM g1),
         g3 AS (SELECT doc_id, {to_signed(xxh64('t3', 'h2'))} AS sh FROM g2),
-        s0 AS (SELECT doc_id, unnest(tk) AS w FROM tk0 WHERE len(tk) < 3),
+        s0 AS (SELECT DISTINCT doc_id, w
+               FROM (SELECT doc_id, unnest(tk) AS w FROM tk0 WHERE len(tk) < 3)),
         s1 AS (SELECT doc_id, {to_signed(xxh64('w', 42))} AS sh FROM s0),
         shn AS MATERIALIZED (
             SELECT DISTINCT doc_id, sh

@@ -194,11 +194,18 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- the continuous ingest: raw delta docs stream in, curation
     # runs per micro-batch against the persisted artifacts only.
 
+    # the frozen model artifacts never change after the history write —
+    # bind their frames ONCE; the growing key indexes must re-list their
+    # (appended) files per batch, but an explicit schema skips the
+    # footer-read schema-inference job each read otherwise pays
+    frozen_mdl = spark.read.parquet(model_cc)
+    frozen_scal = spark.read.parquet(model_scal)
+
     def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         gated = gate_rows(batch_df)
         d1 = gated.withColumn("h", F.xxhash64("text")).join(
-            s.read.parquet(exact_idx), "h", "left_anti"
+            s.read.schema("h BIGINT").parquet(exact_idx), "h", "left_anti"
         )
         d_exact = (
             d1.withColumn(
@@ -208,7 +215,7 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_m")
         )
         d2 = d_exact.withColumn("p", prefix).join(
-            s.read.parquet(prefix_idx), "p", "left_anti"
+            s.read.schema("p BIGINT").parquet(prefix_idx), "p", "left_anti"
         )
         d_corpus = (
             d2.withColumn(
@@ -219,8 +226,8 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         d_tok = d_corpus.select("doc_id", F.explode("toks").alias("w"))
-        mscal = s.read.parquet(model_scal)
-        mdl = s.read.parquet(model_cc)
+        mscal = frozen_scal
+        mdl = frozen_mdl
         d_manifest = group_manifest(
             d_corpus,
             dsir_scores(
@@ -274,14 +281,30 @@ def streaming_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
 
-        run_pass()
-        delta_raw.where(F.col("doc_id") > mid).write.mode(
-            "append"
-        ).parquet(in_dir)
-        run_pass()
+        # AQE off across the micro-batch passes (the loop-round finding
+        # from CC/kmeans applied to foreachBatch): each batch runs ~5
+        # actions over a delta whose shuffle sizes are already tiny, and
+        # AQE splits every one into per-stage sub-jobs — pure scheduling
+        # rounds here. The main thread is blocked in awaitTermination
+        # while the batches plan, so the scoped setting cannot leak into
+        # concurrent work; restored in the finally.
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            run_pass()
+            delta_raw.where(F.col("doc_id") > mid).write.mode(
+                "append"
+            ).parquet(in_dir)
+            run_pass()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     merged = (
-        spark.read.parquet(manifests)
+        spark.read.schema(
+            "lang STRING, source STRING, n_docs BIGINT, n_tokens BIGINT, "
+            "sum_dsir_e4 BIGINT, n_docs_delta BIGINT"
+        )
+        .parquet(manifests)
         .groupBy("lang", "source")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
