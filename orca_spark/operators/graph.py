@@ -175,6 +175,7 @@ def label_propagation(
     # of paying near-empty tasks per round, and restore afterwards
     spark = docs.sparkSession
     prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     width = max(
         1,
         min(
@@ -183,6 +184,13 @@ def label_propagation(
         ),
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    # AQE off for the fixed rounds (the connected_components finding):
+    # the loop width is already derived from the materialized edge
+    # count, so runtime re-planning only splits each round's checkpoint
+    # job into per-stage sub-jobs; restored in the same finally, and the
+    # returned labels are checkpointed so downstream plans see the
+    # caller's session config unchanged.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for _ in range(rounds):
             votes = (
@@ -220,6 +228,7 @@ def label_propagation(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return labels.select("doc_id", "label", "is_seed")
 
 
