@@ -93,7 +93,7 @@ def text_bpe_apply_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).where(F.col("word") != "")
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    merges = bpe_train(vocab)
+    merges = bpe_train(vocab, cache_key=sf_dir)
 
     applied = words.where(~F.col("word").contains(_SEP))
     enc = F.concat(

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from orca_spark.registry import register
-from orca_spark.tables import load
+from orca_spark.tables import load, widen
 
 _PROFILE_N = 300  # profile size; also the out-of-profile penalty
 
@@ -43,8 +43,6 @@ def _trigrams(docs: DataFrame) -> DataFrame:
     # (measured 2.05 s in ONE task of the checkpoint job at sf0.1 while
     # 31 cores idled); widen() is a no-op once the scan has >= core
     # splits, so the shape is scale-invariant
-    from orca_spark.tables import widen
-
     return (
         widen(docs.where(F.col("text").isNotNull() & (F.length("text") >= 3)))
         .select("doc_id", "lang", F.lower("text").alias("t"))

@@ -93,6 +93,14 @@ def widen(df: DataFrame) -> DataFrame:
     count, where skipping the repartition is the right call anyway. A
     non-scan input (no files, e.g. ``createDataFrame`` in tests) is
     returned as-is: such frames are born at ``defaultParallelism``.
+
+    The target is ``defaultParallelism`` (executor width), NOT
+    ``spark.sql.shuffle.partitions``, deliberately (ADVICE r12): widen
+    exists to spread SCAN-SIDE per-row compute (fan-outs, hash chains)
+    over the cores before the first exchange; every downstream shuffle
+    re-keys at the session's shuffle width regardless, so matching it
+    here would buy nothing while making the scan stage's task count
+    depend on a tuning knob rather than the hardware.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()

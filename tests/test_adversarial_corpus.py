@@ -241,6 +241,10 @@ def test_query_total_over_degenerate_documents(spark, nasty_dir, name):
     assert df.count() >= 0  # must not raise, whatever it returns
 
 
+from tests.conftest import ADVERSARIAL_ORACLE_SWEEP  # noqa: E402
+
+
+@ADVERSARIAL_ORACLE_SWEEP
 @pytest.mark.parametrize(
     "name", [n for n in _DOC_QUERIES if n in oracle_sql()]
 )

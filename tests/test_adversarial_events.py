@@ -152,6 +152,10 @@ def test_query_total_over_degenerate_events(spark, nasty_events_dir, name):
     assert df.count() >= 0  # must not raise
 
 
+from tests.conftest import ADVERSARIAL_ORACLE_SWEEP  # noqa: E402
+
+
+@ADVERSARIAL_ORACLE_SWEEP
 @pytest.mark.parametrize(
     "name",
     [

@@ -36,6 +36,10 @@ def nasty_full_dir(tmp_path_factory):
     return write_nasty_sf(str(tmp_path_factory.mktemp("nasty_full_sf")))
 
 
+from tests.conftest import ADVERSARIAL_ORACLE_SWEEP  # noqa: E402
+
+
+@ADVERSARIAL_ORACLE_SWEEP
 @pytest.mark.parametrize("name", _ORACLED)
 def test_oracle_agreement_over_degenerate_corpus(spark, duck, nasty_full_dir, name):
     compare_query(spark, duck, queries()[name], oracle_sql()[name], nasty_full_dir)

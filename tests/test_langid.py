@@ -94,7 +94,15 @@ def test_trigram_fanout_runs_wide_not_at_scan_width(spark):
     from orca_spark.tables import load
     from tests.conftest import SF_DIR
 
-    df = _trigrams(load(spark, SF_DIR, "documents"))
+    import pytest
+
+    docs = load(spark, SF_DIR, "documents")
+    # widen() is a deliberate no-op when the scan already has >= core
+    # splits (1-core runners, multi-file test parquets) — assert the
+    # POLICY only where it applies, not the environment (ADVICE r12)
+    if len(docs.inputFiles()) >= spark.sparkContext.defaultParallelism:
+        pytest.skip("scan already at executor width: widen is a no-op here")
+    df = _trigrams(docs)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")

@@ -94,10 +94,26 @@ def test_all_oracled_queries_are_covered():
     assert len(NAMES) >= 250
 
 
+def _clear_corpus_memos() -> None:
+    """Drop every per-corpus model memo (kmeans centroids, PQ codebooks,
+    BPE merge tables, edit-distance salt histograms) so BOTH regimes
+    genuinely recompute their model artifacts — a memo surviving from
+    regime A would trivially make regime B agree on the artifact and
+    mask partition-dependence in the training step itself."""
+    from orca_spark.operators import bpe, linkage, similarity, similarity2
+
+    similarity._CENTROID_CACHE.clear()
+    similarity2._PQ_CACHE.clear()
+    bpe._MERGE_CACHE.clear()
+    linkage._SALT_CACHE.clear()
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_values_invariant_to_partitioning(spark, name):
     spec = REGISTRY[name]
+    _clear_corpus_memos()
     a = _run_under(spark, spec.fn, _CONF_A)
+    _clear_corpus_memos()
     b = _run_under(spark, spec.fn, _CONF_B)
     assert len(a) == len(b), f"{name}: row count changed with partitioning"
     pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)

@@ -903,6 +903,17 @@ def test_span_string_fanouts_run_wide_hashed_form_does_not(spark):
     and the A/B measured the extra exchange + wider checkpointed RDD as
     a NET LOSS at sf0.1 (2.11 -> 2.69 s), so it must stay unwidened
     (the function's NOTE records the measurement)."""
+    import pytest
+
+    from orca_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    # widen() is a deliberate no-op when the scan already has >= core
+    # splits (1-core runners, multi-file test parquets) — assert the
+    # POLICY only where it applies, not the environment (ADVICE r12)
+    if len(docs.inputFiles()) >= spark.sparkContext.defaultParallelism:
+        pytest.skip("scan already at executor width: widen is a no-op here")
     for name in ["dedup_span_coverage", "dedup_span_scrub"]:
         assert "roundrobinpartitioning" in plan_str(spark, name).lower(), name
     assert (
